@@ -1,0 +1,60 @@
+"""Dense doc-id ("prime order") assignment.
+
+The reference gives every document a dense int id equal to its
+insertion/time position inside a partition ("prime ordering",
+enterstudio/miru README.md:6; ids handed out by the writer cursor,
+``miru-writer/.../AmzaPartitionIdProvider.java:118-138``). Scoring,
+latest/first semantics and the (score desc, docint desc) tie-break all
+depend on that ordering.
+
+Here the stable identity is ``(conv_id, turn_idx)`` and ``docint`` is the
+dense rank of that pair under lexicographic ordering. A naive global
+``row_number() OVER (ORDER BY conv_id, turn_idx)`` collapses to a single
+partition — fine for tests, fatal at 10^12 turns. Because ``turn_idx`` is
+contiguous ``0..n-1`` within each conversation (transcript invariant),
+the dense rank decomposes into::
+
+    docint = (#turns of all conversations with conv_id' < conv_id) + turn_idx
+
+so the global sort is only over the *conversations* table (1000-10000×
+smaller than turns), and the per-turn work is an equi-join on conv_id —
+shuffle on a high-cardinality key, no global sort of turns. This is the
+same trick as the reference's per-partition id cursor, computed
+declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# DuckDB twin used by oracle_sql() strings; {src} is the transcripts relation.
+DUCKDB_DOCINT = """
+SELECT t.*,
+       (COALESCE(o.off, 0) + t.turn_idx)::BIGINT AS docint
+FROM {src} t
+JOIN (
+    SELECT conv_id,
+           SUM(n) OVER (ORDER BY conv_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+    FROM (SELECT conv_id, COUNT(*) AS n FROM {src} GROUP BY conv_id)
+) o USING (conv_id)
+"""
+
+
+def with_docint(turns: DataFrame) -> DataFrame:
+    """Add a dense ``docint`` column = rank of (conv_id, turn_idx).
+
+    Deterministic and parallelism-independent: the only global order is
+    over distinct conv_ids.
+    """
+    convs = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = convs.select(
+        "conv_id", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        turns.join(offsets, "conv_id")
+        .withColumn("docint", (F.col("_off") + F.col("turn_idx")).cast("long"))
+        .drop("_off")
+    )

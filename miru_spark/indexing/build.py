@@ -1,0 +1,89 @@
+"""Posting-list construction as one declarative Spark job.
+
+Reference pipeline (enterstudio/miru): intern → compose per-field
+``(term → ids[], counts[])`` work units → parallel ``fieldIndex.set``
+(``miru-service/.../stream/MiruIndexer.java:47-126``,
+``MiruIndexPrimaryFields.compose:37-96``), with per-doc term frequency
+kept by the cardinality sub-index (``LabFieldIndex.java:422-475``) and
+the global count in the docId=-1 row (``LabFieldIndex.java:474-515``).
+
+Spark-first re-expression — the whole build is JVM-side (tokenize =
+split/filter column expressions, tf = posexplode + groupBy count): no
+Python in the hot path at all, whole-stage codegen end to end::
+
+    turns ── tokens_col ──► posexplode ──► groupBy(term, docint)
+          └─ size(tokens) ─► doc_stats          │
+                                                ▼
+                              postings(term, docint, tf, positions)
+                              term_stats(term, df, cf, max_docint)
+                              corpus_stats(n_docs, avg_doclen)
+
+The single shuffle is the groupBy on (term, docint) — a high-cardinality
+composite key, so Zipf term skew does NOT skew this exchange (the skewed
+unit is (term), not (term, docint)). Downstream per-term work
+(block building, stats) groups by term alone and is where salting
+applies (see blocks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.docids import with_docint
+from miru_spark.tokenize import tokens_col
+
+FIELD_TEXT = "text"
+
+
+def docs_with_tokens(turns: DataFrame) -> DataFrame:
+    """turns (+docint if absent) + tokens array + doclen."""
+    if "docint" not in turns.columns:
+        turns = with_docint(turns)
+    return turns.withColumn("tokens", tokens_col("text")).withColumn(
+        "doclen", F.size("tokens")
+    )
+
+
+def postings_flat(docs: DataFrame, positions: bool = True) -> DataFrame:
+    """``(term, docint, tf[, positions])`` — the flat inverted index.
+
+    ``positions`` (token offsets per doc) power phrase queries; skip them
+    for a leaner index.
+    """
+    exploded = docs.select(
+        "docint", F.posexplode("tokens").alias("pos", "term")
+    )
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return exploded.groupBy("term", "docint").agg(*aggs)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc row store the scorer joins back to: docint → doclen + keys."""
+    return docs.select("docint", "conv_id", "turn_idx", "role", "tool", "ts", "doclen")
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Per-term df/cf — reference's global-cardinality row
+    (``LabFieldIndex.getGlobalCardinality``, docId=-1 row).
+
+    ``max_docint`` reproduces the lastId posting-skip
+    (``FieldMultiTermTxIndex.considerIfLastIdGreaterThanN``,
+    miru-plugin/.../index/FieldMultiTermTxIndex.java:14-35): incremental
+    scorers can prune terms with no doc newer than a watermark.
+    """
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("docint").alias("max_docint"),
+    )
+
+
+def corpus_stats(docs: DataFrame) -> tuple[int, float]:
+    """(n_docs, avg_doclen) — BM25 global inputs. One tiny agg job."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)

@@ -1,0 +1,145 @@
+"""BM25 top-k search — the engine's flagship query path.
+
+Reference scoring loop: ``FullText.collectTfIdf``
+(``miru-stream-plugins/.../fulltext/FullText.java:99-220``) — per query
+term a global multiplier (:118-127), per doc an accumulated
+``multiplier · tf`` (:187-199), a size-k min-max heap (:129-135), merged
+across partitions sorted by (score desc, id desc)
+(``FullTextAnswer.java:64-90``, ``FullTextAnswerMerger.java:31-68``).
+The TIME strategy returns the newest k matches
+(``FullText.collectTime:222-251``).
+
+Spark-first re-expression (this module): the filtered answer set comes
+from the filter evaluator (postings joins, never a corpus scan); scoring
+is one ``postings ⋈ query_terms → groupBy(docint) → sum`` with the term
+weights *broadcast* (the query-term stats table is tiny); top-k is
+``orderBy(score desc, docint desc).limit(k)``, which Spark executes as
+TakeOrderedAndProject — a per-partition k-heap + driver merge, i.e.
+exactly the reference's heap+merge, minus the hand-rolled code. The
+upgrade from the reference's raw TF-IDF multiplier to proper BM25
+(k1/b, doclen normalization) is deliberate (north rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.ast import Node, positive_text_leaves, Prefix, Term
+from miru_spark.query.filters import FilterEvaluator
+from miru_spark.query.parser import parse_query
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_col(df: Column, n_docs: int) -> Column:
+    """Lucene/ATIRE-style BM25 idf: ln(1 + (N - df + .5)/(df + .5)) ≥ 0."""
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+
+
+def bm25_contrib(tf: Column, idf: Column, doclen: Column, avgdl: float) -> Column:
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * doclen / F.lit(float(avgdl))
+    )
+    return idf * tf * F.lit(K1 + 1.0) / denom
+
+
+@dataclass
+class SearchResult:
+    df: DataFrame  # conv_id, turn_idx, docint, score — already top-k ordered
+
+
+def search(
+    index: InvertedIndex,
+    query: str | Node,
+    k: int = 10,
+    ts_lo=None,
+    ts_hi=None,
+    strategy: str = "bm25",
+) -> DataFrame:
+    """Top-k search. Returns (conv_id, turn_idx, docint, score) ordered by
+    (score desc, docint desc) [bm25] or (docint desc) [time].
+
+    ``ts_lo``/``ts_hi`` apply the reference's time-range mask
+    (``MiruBitmaps.buildTimeRangeMask``, miru-plugin/.../bitmap/
+    MiruBitmaps.java:141) — here a plain ``ts BETWEEN`` predicate that
+    parquet/Iceberg min-max stats turn into partition pruning.
+    """
+    node = parse_query(query) if isinstance(query, str) else query
+    ev = FilterEvaluator(index)
+    matched = ev.matching_docs(node)
+
+    docs = index.docs
+    if ts_lo is not None:
+        docs = docs.where(F.col("ts") >= F.lit(ts_lo))
+    if ts_hi is not None:
+        docs = docs.where(F.col("ts") <= F.lit(ts_hi))
+
+    if strategy == "time":
+        out = (
+            matched.join(docs, "docint")
+            .select("conv_id", "turn_idx", "docint", F.lit(0.0).alias("score"))
+            .orderBy(F.desc("docint"))
+            .limit(k)
+        )
+        return out
+
+    leaves = positive_text_leaves(node)
+    exact = sorted({l.value for l in leaves if isinstance(l, Term)})
+    prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
+
+    pred = None
+    if exact:
+        pred = F.col("term").isin(exact)
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pred = c if pred is None else (pred | c)
+
+    if pred is None:
+        # no positive text terms (pure metadata / negation query): score 0
+        out = (
+            matched.join(docs, "docint")
+            .select("conv_id", "turn_idx", "docint", F.lit(0.0).alias("score"))
+            .orderBy(F.desc("docint"))
+            .limit(k)
+        )
+        return out
+
+    # broadcast the tiny per-query term-weight table (idf per term)
+    qterms = F.broadcast(
+        index.terms.where(pred).select("term", idf_col(F.col("df"), index.n_docs).alias("idf"))
+    )
+    contribs = (
+        index.postings.where(pred)
+        .join(qterms, "term")
+        .join(matched, "docint", "left_semi")
+        .join(docs.select("docint", "doclen"), "docint")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+        .groupBy("docint")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    # matched docs with no positive term still answer, at score 0
+    # (the reference scores the whole filtered answer set, FullText.java:139)
+    scored = (
+        matched.join(docs.select("docint", "conv_id", "turn_idx"), "docint")
+        .join(contribs, "docint", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        .orderBy(F.desc("score"), F.desc("docint"))
+        .limit(k)
+        .select("conv_id", "turn_idx", "docint", "score")
+    )
+    return scored

@@ -1,0 +1,118 @@
+"""Filter-tree evaluation: AST → DataFrame of matching docints.
+
+Reference semantics: ``MiruAggregateUtil.filter/filterInOut``
+(``miru-plugin/.../solution/MiruAggregateUtil.java:1098-1202``) — each
+field filter ORs the bitmaps of its term values (exact or wildcard
+range expansion :1154-1170), nodes combine with and/or/pButNotQ
+(``executeFilter:1222-1241``), and a pure-negation branch is seeded with
+the full index mask (``inclusiveFilter``, :1139-1141).
+
+Spark re-expression: a term leaf is a *filter on the postings table*
+(index-only access — never a corpus scan), AND is an inner join chain on
+``docint``, OR a union+distinct, NOT a left_anti join. Term leaves of
+one AND/OR node are fused into a single ``isin``/``startswith`` postings
+scan + groupBy instead of N joins (one shuffle, not N).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.ast import DEFAULT_FIELD, And, Node, Not, Or, Prefix, Term
+
+
+def _leaf_pred(leaf) -> Column:
+    if isinstance(leaf, Term):
+        return F.col("term") == leaf.value
+    return F.col("term").startswith(leaf.value)
+
+
+def _is_text_leaf(n: Node) -> bool:
+    return isinstance(n, (Term, Prefix)) and n.field == DEFAULT_FIELD
+
+
+def _meta_pred(leaf) -> Column:
+    c = F.col(leaf.field)
+    if isinstance(leaf, Term):
+        return c == leaf.value
+    return c.startswith(leaf.value)
+
+
+class FilterEvaluator:
+    """Evaluates a filter AST against an :class:`InvertedIndex`."""
+
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+
+    def matching_docs(self, node: Node) -> DataFrame:
+        """DataFrame with a single ``docint`` column (distinct)."""
+        return self._eval(node)
+
+    # -- node dispatch -----------------------------------------------------
+
+    def _eval(self, node: Node) -> DataFrame:
+        if _is_text_leaf(node):
+            return self._text_leaves_any([node])
+        if isinstance(node, (Term, Prefix)):
+            return self._meta_leaf(node)
+        if isinstance(node, Or):
+            return self._or(node.children)
+        if isinstance(node, And):
+            return self._and(node.children)
+        if isinstance(node, Not):
+            # top-level NOT: full index mask minus child
+            # (MiruAggregateUtil.java:1139-1141 inclusiveFilter seed)
+            full = self.index.docs.select("docint")
+            return full.join(self._eval(node.child), "docint", "left_anti")
+        raise TypeError(f"unknown node {node!r}")
+
+    def _meta_leaf(self, leaf) -> DataFrame:
+        return self.index.docs.where(_meta_pred(leaf)).select("docint")
+
+    def _text_leaves_any(self, leaves: list) -> DataFrame:
+        """OR of text leaves as ONE postings scan (fused isin/prefix)."""
+        pred = reduce(lambda a, b: a | b, (_leaf_pred(l) for l in leaves))
+        return self.index.postings.where(pred).select("docint").distinct()
+
+    def _text_terms_all(self, terms: list[Term]) -> DataFrame:
+        """AND of exact text terms as ONE postings scan + groupBy:
+        docs where count(distinct matched term) == n_terms."""
+        values = sorted({t.value for t in terms})
+        return (
+            self.index.postings.where(F.col("term").isin(values))
+            .groupBy("docint")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == len(values))
+            .select("docint")
+        )
+
+    def _or(self, children: tuple) -> DataFrame:
+        text = [c for c in children if _is_text_leaf(c)]
+        rest = [c for c in children if not _is_text_leaf(c)]
+        parts: list[DataFrame] = []
+        if text:
+            parts.append(self._text_leaves_any(text))
+        parts.extend(self._eval(c) for c in rest)
+        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+
+    def _and(self, children: tuple) -> DataFrame:
+        pos = [c for c in children if not isinstance(c, Not)]
+        neg = [c.child for c in children if isinstance(c, Not)]
+        exact = [c for c in pos if isinstance(c, Term) and c.field == DEFAULT_FIELD]
+        rest = [c for c in pos if not (isinstance(c, Term) and c.field == DEFAULT_FIELD)]
+        parts: list[DataFrame] = []
+        if exact:
+            parts.append(self._text_terms_all(exact))
+        parts.extend(self._eval(c) for c in rest)
+        if not parts:
+            # pure-NOT conjunction: seed with full index mask
+            base = self.index.docs.select("docint")
+        else:
+            base = reduce(lambda a, b: a.join(b, "docint"), parts)
+        for n in neg:
+            base = base.join(self._eval(n), "docint", "left_anti")
+        return base

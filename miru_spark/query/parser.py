@@ -1,0 +1,132 @@
+"""Lucene-style query-string parser.
+
+Grammar parity with the reference's ``LuceneBackedQueryParser``
+(``miru-plugin/.../query/LuceneBackedQueryParser.java:47-144``): only
+TermQuery, PrefixQuery and BooleanQuery are supported (:94-108), with
+``AND`` default between bare terms (the reference parser is constructed
+default-AND), ``OR``, ``NOT`` (mapped to pButNotQ, :117-136),
+``field:value``, trailing ``*`` prefix, and parentheses. Term text is run
+through the same analyzer as indexing (reference ``TermTokenizer``
+applies the analyzer to query strings, ``TermTokenizer.java:34-54``) — a
+query token that analyzes to several terms becomes an AND of them.
+"""
+
+from __future__ import annotations
+
+import re
+
+from miru_spark.query.ast import DEFAULT_FIELD, And, Node, Not, Or, Prefix, Term
+from miru_spark.tokenize import tokenize_py
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<word>[^\s()]+)
+    )""",
+    re.VERBOSE,
+)
+
+METADATA_FIELDS = {"role", "tool", "conv_id"}
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            break
+        i = m.end()
+        toks.append(m.group("lparen") or m.group("rparen") or m.group("word"))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_or(self) -> Node:
+        left = [self.parse_and()]
+        while self.peek() == "OR":
+            self.next()
+            left.append(self.parse_and())
+        return left[0] if len(left) == 1 else Or(tuple(left))
+
+    def parse_and(self) -> Node:
+        children = [self.parse_unary()]
+        while True:
+            t = self.peek()
+            if t is None or t in ("OR", ")"):
+                break
+            if t == "AND":
+                self.next()
+                continue
+            children.append(self.parse_unary())
+        if len(children) == 1 and not isinstance(children[0], Not):
+            return children[0]
+        return And(tuple(children))
+
+    def parse_unary(self) -> Node:
+        t = self.peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t in ("NOT", "-"):
+            self.next()
+            return Not(self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self) -> Node:
+        t = self.next()
+        if t == "(":
+            node = self.parse_or()
+            if self.peek() != ")":
+                raise QueryParseError("missing )")
+            self.next()
+            return node
+        if t == ")":
+            raise QueryParseError("unexpected )")
+        if t in ("AND", "OR", "NOT"):
+            raise QueryParseError(f"operator {t} in term position")
+        field = DEFAULT_FIELD
+        if ":" in t:
+            f, _, rest = t.partition(":")
+            if f in METADATA_FIELDS:
+                field, t = f, rest
+        is_prefix = t.endswith("*") and len(t) > 1
+        if is_prefix:
+            t = t[:-1]
+        if field == DEFAULT_FIELD:
+            # analyze like indexed text; multi-token value => AND of terms
+            parts = tokenize_py(t)
+            if not parts:
+                raise QueryParseError(f"term analyzes to nothing: {t!r}")
+            if is_prefix:
+                leaves = [Term(p) for p in parts[:-1]] + [Prefix(parts[-1])]
+            else:
+                leaves = [Term(p) for p in parts]
+            return leaves[0] if len(leaves) == 1 else And(tuple(leaves))
+        return Prefix(t, field) if is_prefix else Term(t, field)
+
+
+def parse_query(q: str) -> Node:
+    toks = _lex(q)
+    if not toks:
+        raise QueryParseError("empty query")
+    p = _Parser(toks)
+    node = p.parse_or()
+    if p.peek() is not None:
+        raise QueryParseError(f"trailing tokens at {p.i}")
+    return node

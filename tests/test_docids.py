@@ -1,0 +1,31 @@
+"""docint = dense rank of (conv_id, turn_idx) — "prime ordering"
+(reference README.md:6), computed without a global sort of turns."""
+
+from miru_spark.docids import with_docint
+
+
+def test_docint_matches_global_rank(spark, tiny_turns, tiny_pdf):
+    got = (
+        with_docint(tiny_turns)
+        .select("conv_id", "turn_idx", "docint")
+        .orderBy("docint")
+        .toPandas()
+    )
+    exp = tiny_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(got["docint"]) == list(range(len(exp)))
+    assert list(got["conv_id"]) == list(exp["conv_id"])
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])
+
+
+def test_docint_parallelism_invariant(spark, tiny_turns):
+    a = with_docint(tiny_turns.repartition(1)).select("conv_id", "turn_idx", "docint")
+    b = with_docint(tiny_turns.repartition(13)).select("conv_id", "turn_idx", "docint")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_ts_monotonic_in_prime_order(spark, tiny_turns):
+    pdf = (
+        with_docint(tiny_turns).select("docint", "ts").orderBy("docint").toPandas()
+    )
+    assert pdf["ts"].is_monotonic_increasing

@@ -1,0 +1,63 @@
+"""Query-parser parity with LuceneBackedQueryParser semantics
+(reference miru-plugin/.../query/LuceneBackedQueryParser.java:76-136):
+default-AND, OR, NOT→pButNotQ, field:term, trailing-* prefix, parens."""
+
+import pytest
+
+from miru_spark.query.ast import And, Not, Or, Prefix, Term
+from miru_spark.query.parser import QueryParseError, parse_query
+
+
+def test_single_term():
+    assert parse_query("alpha") == Term("alpha")
+
+
+def test_default_and():
+    assert parse_query("alpha beta") == And((Term("alpha"), Term("beta")))
+    assert parse_query("alpha AND beta") == And((Term("alpha"), Term("beta")))
+
+
+def test_or():
+    assert parse_query("alpha OR beta") == Or((Term("alpha"), Term("beta")))
+
+
+def test_not_requires_positive_context():
+    q = parse_query("alpha AND NOT beta")
+    assert q == And((Term("alpha"), Not(Term("beta"))))
+
+
+def test_prefix():
+    assert parse_query("err*") == Prefix("err")
+
+
+def test_field():
+    assert parse_query("role:assistant") == Term("assistant", "role")
+    assert parse_query("role:assistant AND timeout") == And(
+        (Term("assistant", "role"), Term("timeout"))
+    )
+
+
+def test_parens_precedence():
+    q = parse_query("a AND (b OR c)")
+    assert q == And((Term("a"), Or((Term("b"), Term("c")))))
+    # OR binds looser than default-AND
+    q2 = parse_query("a b OR c")
+    assert q2 == Or((And((Term("a"), Term("b"))), Term("c")))
+
+
+def test_query_text_analyzed_like_index():
+    # "Time-Out" analyzes to two terms -> AND of them
+    assert parse_query("Time-Out") == And((Term("time"), Term("out")))
+    assert parse_query("ALPHA") == Term("alpha")
+
+
+def test_unknown_field_is_text():
+    # unknown prefix-with-colon is analyzed as text (colon is a separator)
+    assert parse_query("foo:bar") == And((Term("foo"), Term("bar")))
+
+
+def test_errors():
+    with pytest.raises(QueryParseError):
+        parse_query("")
+    with pytest.raises(QueryParseError):
+        parse_query("(a OR b")

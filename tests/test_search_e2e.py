@@ -1,0 +1,104 @@
+"""End-to-end rank-identical check: Spark engine vs pure-pandas oracle
+on a fixed reference query set (the upgraded RecoCorrectnessTest
+pattern, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.index import InvertedIndex
+from miru_spark.oracle import PandasIndex
+from miru_spark.query.bm25 import search
+
+# FIXTURES.md §2 — the reference query set shape: default-AND of
+# dictionary terms (MiruFullTextNGTest.java:215-224) + parser surface
+# (term, prefix*, AND/OR/NOT, field:term).
+QUERIES = [
+    ("w00000", 10),
+    ("w00001 AND w00004", 10),
+    ("w00002 w00005 w00010", 10),
+    ("w00003 OR w09999", 10),
+    ("w00001 AND NOT w00002", 10),
+    ("w0001*", 10),
+    ("role:assistant AND w00007", 10),
+    ("tool:bash AND w00001", 10),
+    ("(w00004 OR w00005) AND NOT w00006", 10),
+    ("w00020 OR (w00030 AND w00040)", 25),
+    ("NOT w00000", 10),
+    ("w00000 AND w00001 AND w00002 AND w00003", 100),
+]
+
+
+@pytest.fixture(scope="module")
+def built(small_turns, small_pdf):
+    idx = InvertedIndex.build(small_turns)
+    oracle = PandasIndex(small_pdf)
+    yield idx, oracle
+    idx.unpersist()
+
+
+def _assert_rank_identical(got, exp, qid=""):
+    assert len(got) == len(exp), f"{qid}: row count {len(got)} != {len(exp)}"
+    for i, (g, e) in enumerate(
+        zip(got.to_dict("records"), exp.to_dict("records"))
+    ):
+        assert g["docint"] == e["docint"], (
+            f"{qid} rank {i}: doc {g['docint']} != {e['docint']} "
+            f"(scores {g['score']:.6f} vs {e['score']:.6f})"
+        )
+        assert g["conv_id"] == e["conv_id"] and g["turn_idx"] == e["turn_idx"]
+        assert abs(g["score"] - e["score"]) < 1e-6, f"{qid} rank {i} score"
+
+
+@pytest.mark.parametrize("query,k", QUERIES, ids=[q for q, _ in QUERIES])
+def test_bm25_rank_identical(built, query, k):
+    idx, oracle = built
+    got = search(idx, query, k=k).toPandas()
+    exp = oracle.search(query, k=k)
+    _assert_rank_identical(got, exp, query)
+    if "NOT" not in query and "role:" not in query and "tool:" not in query:
+        assert len(got) > 0, f"{query}: expected matches in Zipf corpus"
+
+
+@pytest.mark.parametrize("query", ["w00000", "w00001 AND w00002"])
+def test_time_strategy(built, query):
+    idx, oracle = built
+    got = search(idx, query, k=10, strategy="time").toPandas()
+    exp = oracle.search(query, k=10, strategy="time")
+    assert list(got["docint"]) == list(exp["docint"])
+    assert (got["score"] == 0.0).all()  # TIME strategy scores are zero
+    # newest-first: docint strictly decreasing (FullText.collectTime)
+    assert list(got["docint"]) == sorted(got["docint"], reverse=True)
+
+
+def test_time_range_mask(built, small_pdf):
+    idx, oracle = built
+    ts = sorted(small_pdf["ts"])
+    lo, hi = ts[len(ts) // 4], ts[3 * len(ts) // 4]
+    got = search(idx, "w00000", k=20, ts_lo=lo, ts_hi=hi).toPandas()
+    exp = oracle.search("w00000", k=20, ts_lo=lo, ts_hi=hi)
+    _assert_rank_identical(got, exp, "time-range")
+
+
+def test_unique_token_exact_match(built, small_pdf):
+    """uniq tokens occur exactly once — exact-match invariant."""
+    idx, oracle = built
+    row = small_pdf[small_pdf["text"].str.contains("uniq0 ", regex=False) | small_pdf["text"].str.endswith("uniq0")]
+    got = search(idx, "uniq0", k=5).toPandas()
+    exp = oracle.search("uniq0", k=5)
+    _assert_rank_identical(got, exp, "uniq0")
+    assert len(got) == len(row) == 1
+
+
+def test_shuffle_partition_invariance(spark, small_turns, small_pdf):
+    """Rank-identical at a different shuffle-partition setting
+    (FIXTURES.md §5: determinism across parallelism)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        idx = InvertedIndex.build(small_turns, cache=False)
+        got = search(idx, "w00001 AND w00004", k=10).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    exp = PandasIndex(small_pdf).search("w00001 AND w00004", k=10)
+    _assert_rank_identical(got, exp, "shuffle-invariance")
