@@ -1,0 +1,447 @@
+"""Driver-facing query catalog: Spark callables + DuckDB oracle SQL.
+
+Every operator the engine claims (SURVEY.md §2) gets a pair here:
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and ``ORACLE_SQL[name]``,
+an ANSI-SQL equivalent DuckDB runs over the same parquet tables. The
+driver compares row count + schema + order-insensitive value hash, so
+column names/types are aliased identically on both sides and float
+scores are rounded to 4 decimals on both sides.
+
+The fulltext queries run over a transcripts table derived
+*deterministically* from the driver's ``documents`` parquet
+(miru_spark.transcripts.transcripts_from_documents) so the oracle can
+rebuild the identical corpus in pure SQL — no side-channel data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.bm25 import search
+from miru_spark.tokenize import tokens_col
+from miru_spark.transcripts import DUCKDB_TRANSCRIPTS, transcripts_from_documents
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE prelude: transcripts -> docint -> postings -> stats
+# ---------------------------------------------------------------------------
+
+_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t <> '')"
+
+SQL_PRELUDE = f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS}),
+d AS (
+  SELECT t.*, (COALESCE(o.off, 0) + t.turn_idx)::BIGINT AS docint
+  FROM t
+  JOIN (
+    SELECT conv_id,
+           SUM(n) OVER (ORDER BY conv_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+    FROM (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY conv_id)
+  ) o USING (conv_id)
+),
+dl AS (
+  SELECT docint, conv_id, turn_idx, role, tool, ts,
+         len({_TOK})::INT AS doclen
+  FROM d
+),
+tok AS (
+  SELECT docint, unnest({_TOK}) AS term FROM d
+),
+post AS (
+  SELECT term, docint, COUNT(*)::INT AS tf FROM tok GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf,
+         MAX(docint)::BIGINT AS max_docint
+  FROM post GROUP BY 1
+),
+corpus AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, AVG(doclen) AS avgdl FROM dl
+)
+"""
+
+_BM25 = (
+    "ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5)) * p.tf * 2.2"
+    " / (p.tf + 1.2 * (0.25 + 0.75 * dl.doclen / c.avgdl))"
+)
+
+
+def _bm25_sql(match_sql: str, score_pred: str, k: int) -> str:
+    """Top-k BM25 oracle: ``match_sql`` yields matching docints,
+    ``score_pred`` selects scoring postings rows (term predicate)."""
+    return f"""{SQL_PRELUDE},
+m AS ({match_sql}),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE {score_pred} AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, m.docint,
+       ROUND(COALESCE(ct.score, 0), 4) AS score
+FROM m
+LEFT JOIN contrib ct USING (docint)
+JOIN dl ON dl.docint = m.docint
+ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+LIMIT {k}
+"""
+
+
+# per-process index cache so the driver's per-query calls share one build
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = InvertedIndex.build(
+            transcripts_from_documents(spark, sf_dir), positions=False
+        )
+    return _INDEX_CACHE[key]
+
+
+def _ft(query: str, k: int = 10, strategy: str = "bm25"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = search(_index_for(spark, sf_dir), query, k=k, strategy=strategy)
+        return out.withColumn("score", F.round("score", 4))
+
+    return run
+
+
+def _sql_in(terms: list[str]) -> str:
+    inner = ", ".join(f"'{t}'" for t in terms)
+    return f"({inner})"
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, fn, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+# -- fulltext / BM25 family (SURVEY.md §2.6; FullText.java) ------------------
+
+_register(
+    "ft_bm25_and",
+    _ft("spark AND join", k=10),
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term IN ('spark','join') "
+        "GROUP BY docint HAVING COUNT(DISTINCT term) = 2",
+        "p.term IN ('spark','join')",
+        10,
+    ),
+)
+
+_register(
+    "ft_bm25_or",
+    _ft("hash OR merge", k=10),
+    _bm25_sql(
+        "SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')",
+        "p.term IN ('hash','merge')",
+        10,
+    ),
+)
+
+_register(
+    "ft_bm25_not",
+    _ft("window AND NOT join", k=10),
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term = 'window' "
+        "EXCEPT SELECT docint FROM post WHERE term = 'join'",
+        "p.term = 'window'",
+        10,
+    ),
+)
+
+_register(
+    "ft_bm25_prefix",
+    _ft("sca*", k=10),
+    _bm25_sql(
+        "SELECT DISTINCT docint FROM post WHERE term LIKE 'sca%'",
+        "p.term LIKE 'sca%'",
+        10,
+    ),
+)
+
+_register(
+    "ft_bm25_field",
+    _ft("role:assistant AND batch", k=10),
+    _bm25_sql(
+        "SELECT p.docint FROM post p JOIN dl ON dl.docint = p.docint "
+        "WHERE p.term = 'batch' AND dl.role = 'assistant'",
+        "p.term = 'batch'",
+        10,
+    ),
+)
+
+_register(
+    "ft_time_topk",
+    _ft("spark", k=10, strategy="time"),
+    f"""{SQL_PRELUDE}
+SELECT dl.conv_id, dl.turn_idx, p.docint, ROUND(0.0, 4) AS score
+FROM (SELECT DISTINCT docint FROM post WHERE term = 'spark') p
+JOIN dl ON dl.docint = p.docint
+ORDER BY p.docint DESC
+LIMIT 10
+""",
+)
+
+
+# -- index-build artifacts (SURVEY.md §2.2) ----------------------------------
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return idx.terms.select("term", "df", "cf", "max_docint")
+
+
+_register(
+    "term_stats",
+    _q_term_stats,
+    f"{SQL_PRELUDE} SELECT term, df, cf, max_docint FROM stats",
+)
+
+
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return idx.postings.select("term", "docint", "tf")
+
+
+_register(
+    "postings_flat",
+    _q_postings,
+    f"{SQL_PRELUDE} SELECT term, docint, tf FROM post",
+)
+
+
+def _q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.n_docs, round(idx.avg_doclen, 4))], "n_docs long, avg_doclen double"
+    )
+
+
+_register(
+    "corpus_stats",
+    _q_corpus,
+    f"{SQL_PRELUDE} SELECT n_docs, ROUND(avgdl, 4) AS avg_doclen FROM corpus",
+)
+
+
+# -- aggregations (SURVEY.md §2.5) -------------------------------------------
+
+
+def _q_aggregate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateCounts semantics: per pivot value, distinct-doc count +
+    latest & oldest doc (reference AggregateCounts.java:93-384 walks the
+    answer newest-first; the window/groupBy form is the one-shuffle
+    equivalent)."""
+    idx = _index_for(spark, sf_dir)
+    return (
+        idx.docs.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("docint").alias("latest_docint"),
+            F.min("docint").alias("oldest_docint"),
+        )
+        .select("role", "n_docs", "latest_docint", "oldest_docint")
+    )
+
+
+_register(
+    "aggregate_counts_role",
+    _q_aggregate_counts,
+    f"""{SQL_PRELUDE}
+SELECT role, COUNT(*)::BIGINT AS n_docs, MAX(docint) AS latest_docint,
+       MIN(docint) AS oldest_docint
+FROM dl GROUP BY role
+""",
+)
+
+
+def _q_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distincts enumeration with prefix constraint
+    (reference Distincts.gather, miru-reco-plugins/.../Distincts.java:41-159)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.terms.where(F.col("term").startswith("s")).select("term").distinct()
+
+
+_register(
+    "distincts_prefix",
+    _q_distincts,
+    f"{SQL_PRELUDE} SELECT DISTINCT term FROM stats WHERE term LIKE 's%'",
+)
+
+
+def _q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistinctCount: #distinct pivot terms in the filtered answer set
+    (reference DistinctCount.java:30-113) — distinct terms co-occurring
+    with 'spark' docs."""
+    idx = _index_for(spark, sf_dir)
+    spark_docs = idx.postings.where(F.col("term") == "spark").select("docint")
+    return (
+        idx.postings.join(spark_docs, "docint", "left_semi")
+        .agg(F.count_distinct("term").alias("n_distinct"))
+    )
+
+
+_register(
+    "distinct_count_cooc",
+    _q_distinct_count,
+    f"""{SQL_PRELUDE}
+SELECT COUNT(DISTINCT term)::BIGINT AS n_distinct FROM post
+WHERE docint IN (SELECT docint FROM post WHERE term = 'spark')
+""",
+)
+
+
+def _q_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform/analytics: time-bucketed counts per term
+    (reference Analytics.analyze, miru-analytics-plugins/.../Analytics.java:57-201)
+    over the events table: count per (event_type, hour)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bucket", "n")
+    )
+
+
+_register(
+    "waveform_events",
+    _q_waveform,
+    """
+SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest' write-time index semantics (reference MiruIndexLatest.java:31-60):
+    newest event per user via window rank."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_register(
+    "latest_per_user",
+    _q_latest_per_user,
+    """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+
+
+def _q_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'First' index semantics (setIfEmpty — reference
+    MiruIndexPrimaryFields.java:123-129): oldest event per user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_register(
+    "first_per_user",
+    _q_first_per_user,
+    """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+
+
+# -- relational coverage (filters/aggs/joins over TPC-H-ish tables) ----------
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "revenue", "count_order")
+    )
+
+
+_register(
+    "tpch_q1",
+    _q_tpch_q1,
+    """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + global top-k (the engine's join strategy demo)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "total_spent")
+    )
+
+
+_register(
+    "topk_customers",
+    _q_topk_orders,
+    """
+SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 20
+""",
+)
