@@ -1,0 +1,128 @@
+"""Per-round benchmark harness (driver contract).
+
+Measures (1) index-build throughput in turns/sec over a deterministic
+synthetic transcript corpus (the reference's disabled perf-harness shape:
+batched build with rate accounting, MiruStreamServiceNGTest.java:113-155)
+and (2) per-query latency of the headline query set over the sf-dir
+corpus (MiruFullTextNGTest.java:146-188 shape). Prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_TURNS (default 300000 synthetic build turns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_build_turns = int(os.environ.get("BENCH_TURNS", "300000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.session import get_spark
+    from miru_spark.transcripts import generate_transcripts, transcripts_from_documents
+    from miru_spark.driver_queries import QUERIES
+
+    spark = get_spark("miru_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    t_all = time.time()
+    timings: dict[str, float] = {}
+
+    # ---- JVM/JIT warmup: exercise every timed code path on a small
+    # corpus first (codegen compile + C2 otherwise pollutes the first
+    # timed stage by 30-90s in this sandbox) ----
+    import shutil
+    import tempfile
+
+    from miru_spark.query.bm25 import search as _search
+
+    positions = os.environ.get("BENCH_POSITIONS", "0") == "1"
+    warm_dir = tempfile.mkdtemp(prefix="miru_bench_warm_")
+    warm = generate_transcripts(spark, n_convs=1500, max_turns=24, seed=7).persist()
+    warm.count()
+    widx = InvertedIndex.build_persisted(warm, warm_dir, positions=positions)
+    _search(widx, "w00001 AND w00002", k=5).collect()
+    warm.unpersist()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    timings["warmup"] = round(time.time() - t_all, 3)
+
+    # ---- build throughput on synthetic corpus (~n_build_turns turns) ----
+    n_convs = max(n_build_turns // 12, 1)  # avg ~12.5 turns/conv at max_turns=24
+    turns = generate_transcripts(spark, n_convs=n_convs, max_turns=24, seed=42)
+    turns = turns.persist()
+    n_turns = turns.count()  # materialize input outside the timed window
+
+    # two passes: pass 1 finishes JIT compilation of the heavy codegen
+    # paths, pass 2 is the steady-state number a long-running cluster
+    # job would see (documented in BASELINE.md).
+    build_secs = []
+    for _ in range(2):
+        seg_dir = tempfile.mkdtemp(prefix="miru_bench_segments_")
+        t0 = time.time()
+        idx = InvertedIndex.build_persisted(turns, seg_dir, positions=positions)
+        build_secs.append(time.time() - t0)
+        n_postings = spark.read.parquet(f"{seg_dir}/postings").count()
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    build_sec = build_secs[-1]
+    timings["index_build_cold"] = round(build_secs[0], 3)
+    timings["index_build"] = round(build_sec, 3)
+    turns_per_sec = n_turns / build_sec
+    turns.unpersist()
+
+    # ---- query latency over the sf-dir corpus ----
+    qidx = InvertedIndex.build(
+        transcripts_from_documents(spark, sf_dir), positions=False
+    )
+    # warm the cached tables
+    qidx.postings.count()
+
+    from miru_spark.query.bm25 import search
+
+    headline = [
+        ("q_and", "spark AND join", "bm25"),
+        ("q_or", "hash OR merge", "bm25"),
+        ("q_not", "window AND NOT join", "bm25"),
+        ("q_prefix", "sca*", "bm25"),
+        ("q_field", "role:assistant AND batch", "bm25"),
+        ("q_time", "spark", "time"),
+    ]
+    for name, q, strat in headline:
+        t0 = time.time()
+        search(qidx, q, k=10, strategy=strat).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # non-fulltext operators at sf_dir
+    for name in ["aggregate_counts_role", "waveform_events", "latest_per_user",
+                 "tpch_q1", "topk_customers"]:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "build_turns": n_turns,
+        "build_postings": n_postings,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -29,7 +29,7 @@ from miru_spark.transcripts import DUCKDB_TRANSCRIPTS, transcripts_from_document
 # shared DuckDB CTE prelude: transcripts -> docint -> postings -> stats
 # ---------------------------------------------------------------------------
 
-_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t <> '')"
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
 SQL_PRELUDE = f"""
 WITH t AS ({DUCKDB_TRANSCRIPTS}),
@@ -101,9 +101,13 @@ _INDEX_CACHE: dict[str, InvertedIndex] = {}
 def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     key = f"{id(spark)}:{sf_dir}"
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = InvertedIndex.build(
+        idx = InvertedIndex.build(
             transcripts_from_documents(spark, sf_dir), positions=False
         )
+        # serving handle: postings appear 2-3x per query plan (match set,
+        # scoring, stats) — cache them at oracle/bench corpus scale
+        idx.postings = idx.postings.cache()
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 

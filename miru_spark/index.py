@@ -27,10 +27,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from miru_spark.indexing.build import (
+    base_with_docint,
     corpus_stats,
     doc_stats,
-    docs_with_tokens,
     postings_flat,
+    postings_flat_pandas,
     term_stats,
 )
 
@@ -42,22 +43,28 @@ class InvertedIndex:
     terms: DataFrame  # term, df, cf, max_docint
     n_docs: int
     avg_doclen: float
+    _docs_cached: DataFrame | None = None
 
     @classmethod
     def build(
         cls, turns: DataFrame, positions: bool = True, cache: bool = True
     ) -> "InvertedIndex":
-        docs = docs_with_tokens(turns)
-        doc_tbl = doc_stats(docs)
-        post = postings_flat(docs, positions=positions)
+        """Build in-memory handle.
+
+        Caches only the docs table (small: one row per turn, tokens
+        included). The postings relation is left lazy — recomputing the
+        explode+groupBy from cached docs is ~10x cheaper than caching
+        13M+ posting rows through Spark's row-based block store; at real
+        scale postings are persisted columnar via :meth:`save` instead.
+        """
+        base = base_with_docint(turns)
         if cache:
-            doc_tbl = doc_tbl.cache()
-            post = post.cache()
+            base = base.cache()
+        doc_tbl = doc_stats(base)
+        post = postings_flat(base, positions=positions)
         n, avgdl = corpus_stats(doc_tbl)
         terms = term_stats(post)
-        if cache:
-            terms = terms.cache()
-        return cls(post, doc_tbl, terms, n, avgdl)
+        return cls(post, doc_tbl, terms, n, avgdl, _docs_cached=base if cache else None)
 
     def save(self, path: str, n_buckets: int = 32) -> None:
         """Persist as a segment directory.
@@ -82,10 +89,83 @@ class InvertedIndex:
             .parquet(f"{path}/postings")
         )
         self.docs.write.mode("overwrite").parquet(f"{path}/docs")
-        self.terms.write.mode("overwrite").parquet(f"{path}/terms")
+        # derive term stats from the segments just written: a columnar
+        # (term, docint, tf) read beats re-running tokenize+explode
+        spark = self.postings.sparkSession
+        written = spark.read.parquet(f"{path}/postings").select("term", "docint", "tf")
+        term_stats(written).write.mode("overwrite").parquet(f"{path}/terms")
         meta = {"n_docs": self.n_docs, "avg_doclen": self.avg_doclen}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+
+    @classmethod
+    def build_persisted(
+        cls,
+        turns: DataFrame,
+        path: str,
+        positions: bool = False,
+        n_buckets: int = 32,
+        tokenizer: str = "auto",
+    ) -> "InvertedIndex":
+        """The production build job: transcripts → persisted segments.
+
+        Tokenization runs exactly ONCE (inside the postings job); the
+        doc row-store derives ``doclen = sum(tf)`` from the written
+        segments instead of re-tokenizing, and term stats aggregate the
+        same columnar read. Three jobs total::
+
+            1. postings:  tokenize → posexplode → groupBy(term,docint)
+                          → bucket-partition by hash(term) → sorted write
+            2. docs:      base ⨝ (postings ⟶ groupBy(docint).sum(tf))
+            3. terms:     postings ⟶ groupBy(term) stats
+
+        Reference analog: MiruIndexer.index composes primary work once
+        and feeds field index + activity row store from it
+        (miru-service/.../stream/MiruIndexer.java:47-126).
+        """
+        from pyspark.sql import functions as F
+
+        spark = turns.sparkSession
+        base = base_with_docint(turns)
+        if tokenizer == "auto":
+            tokenizer = "pandas" if positions else "jvm"
+        flat = (
+            postings_flat_pandas(base, positions=positions)
+            if tokenizer == "pandas"
+            else postings_flat(base, positions=positions)
+        )
+        (
+            flat.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("term", "docint")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        written = spark.read.parquet(f"{path}/postings").select(
+            "term", "docint", "tf"
+        )
+        doclens = written.groupBy("docint").agg(
+            F.sum("tf").cast("int").alias("doclen")
+        )
+        (
+            base.select("docint", "conv_id", "turn_idx", "role", "tool", "ts")
+            .join(doclens, "docint", "left")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+            .write.mode("overwrite")
+            .parquet(f"{path}/docs")
+        )
+        term_stats(written).write.mode("overwrite").parquet(f"{path}/terms")
+        docs = spark.read.parquet(f"{path}/docs")
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        meta = {"n_docs": int(row["n"]), "avg_doclen": float(row["avgdl"] or 0.0)}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls.load(spark, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
@@ -100,7 +180,9 @@ class InvertedIndex:
         )
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.docs, self.terms):
+        for df in (self.postings, self.docs, self.terms, self._docs_cached):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:

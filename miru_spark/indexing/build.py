@@ -36,23 +36,23 @@ from miru_spark.tokenize import tokens_col
 FIELD_TEXT = "text"
 
 
-def docs_with_tokens(turns: DataFrame) -> DataFrame:
-    """turns (+docint if absent) + tokens array + doclen."""
+def base_with_docint(turns: DataFrame) -> DataFrame:
+    """turns + docint — the cacheable base (no token arrays; caching 10s
+    of millions of token strings through the block store costs more than
+    re-running the codegen'd tokenizer per consumer)."""
     if "docint" not in turns.columns:
         turns = with_docint(turns)
-    return turns.withColumn("tokens", tokens_col("text")).withColumn(
-        "doclen", F.size("tokens")
-    )
+    return turns
 
 
-def postings_flat(docs: DataFrame, positions: bool = True) -> DataFrame:
+def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
     """``(term, docint, tf[, positions])`` — the flat inverted index.
 
     ``positions`` (token offsets per doc) power phrase queries; skip them
     for a leaner index.
     """
-    exploded = docs.select(
-        "docint", F.posexplode("tokens").alias("pos", "term")
+    exploded = base.select(
+        "docint", F.posexplode(tokens_col("text")).alias("pos", "term")
     )
     aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
     if positions:
@@ -60,9 +60,65 @@ def postings_flat(docs: DataFrame, positions: bool = True) -> DataFrame:
     return exploded.groupBy("term", "docint").agg(*aggs)
 
 
-def doc_stats(docs: DataFrame) -> DataFrame:
+def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
+    """Arrow/pandas-UDF tokenizer emitting finished posting rows.
+
+    Unlike the explode+groupBy path, the per-doc (term → tf, positions)
+    aggregation happens inside the UDF, so postings need NO shuffle at
+    all — each input partition maps 1:1 to posting rows (the downstream
+    bucket-partitioning is the only exchange). This is the preferred
+    path when positions are wanted: collect_list+sort_array on 10^7
+    exploded tokens costs ~6x more than the in-UDF Counter.
+    """
+    from collections import defaultdict
+    from typing import Iterator
+
+    import pandas as pd
+
+    from miru_spark.tokenize import _PY_TOKEN
+
+    want_pos = positions
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_term: list[str] = []
+            out_tf: list[int] = []
+            out_pos: list[list[int]] = []
+            for docint, text in zip(pdf["docint"], pdf["text"]):
+                if not text:
+                    continue
+                acc: dict[str, list[int]] = defaultdict(list)
+                for i, t in enumerate(_PY_TOKEN.findall(text.lower())):
+                    acc[t].append(i)
+                for t, ps in acc.items():
+                    out_doc.append(docint)
+                    out_term.append(t)
+                    out_tf.append(len(ps))
+                    if want_pos:
+                        out_pos.append(ps)
+            cols = {"term": out_term, "docint": out_doc, "tf": out_tf}
+            if want_pos:
+                cols["positions"] = out_pos
+            yield pd.DataFrame(cols)
+
+    schema = "term string, docint long, tf int" + (
+        ", positions array<int>" if positions else ""
+    )
+    return base.select("docint", "text").mapInPandas(tok, schema=schema)
+
+
+def doc_stats(base: DataFrame) -> DataFrame:
     """Per-doc row store the scorer joins back to: docint → doclen + keys."""
-    return docs.select("docint", "conv_id", "turn_idx", "role", "tool", "ts", "doclen")
+    return base.select(
+        "docint",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.size(tokens_col("text")).alias("doclen"),
+    )
 
 
 def term_stats(postings: DataFrame) -> DataFrame:

@@ -23,30 +23,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # One regex, three engines. Java (Spark), Python (oracle), DuckDB SQL.
-TOKEN_SPLIT_RE = "[^a-z0-9']+"
-_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+# Extraction form ("match tokens") rather than split form ("split on
+# non-tokens"): regexp_extract_all is whole-stage-codegen'd in Spark,
+# while split + a higher-order filter lambda is CodegenFallback and ~10x
+# slower per token. The two forms are equivalent (tested).
+TOKEN_RE = "[a-z0-9']+"
+_PY_TOKEN = re.compile(TOKEN_RE)
 
 # DuckDB-side equivalent used inside oracle_sql() strings.
-DUCKDB_TOKENIZE = (
-    "list_filter(string_split_regex(lower({col}), '[^a-z0-9'']+'), t -> t <> '')"
-)
+DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9'']+')"
 
 
 def tokens_col(text: Column | str) -> Column:
     """``array<string>`` of analyzed tokens for a text column (JVM-side)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), F.lit(0))
 
 
 def tokenize_py(text: str | None) -> list[str]:
     """Python twin of :func:`tokens_col` (used by the pandas oracle)."""
     if text is None:
         return []
-    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+    return _PY_TOKEN.findall(text.lower())
 
 
 def tokenize_series(s: pd.Series) -> pd.Series:
     """Vectorized pandas twin (Arrow batch path)."""
-    return s.fillna("").str.lower().str.split(TOKEN_SPLIT_RE, regex=True).map(
-        lambda ts: [t for t in ts if t]
-    )
+    return s.fillna("").str.lower().str.findall(TOKEN_RE)
