@@ -44,6 +44,7 @@ class InvertedIndex:
     n_docs: int
     avg_doclen: float
     _docs_cached: DataFrame | None = None
+    blocks: DataFrame | None = None  # compressed block segments (blocks.py)
 
     @classmethod
     def build(
@@ -106,6 +107,7 @@ class InvertedIndex:
         positions: bool = False,
         n_buckets: int = 32,
         tokenizer: str = "auto",
+        blocks: bool = False,
     ) -> "InvertedIndex":
         """The production build job: transcripts → persisted segments.
 
@@ -165,18 +167,38 @@ class InvertedIndex:
         meta = {"n_docs": int(row["n"]), "avg_doclen": float(row["avgdl"] or 0.0)}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+        if blocks:
+            from miru_spark.indexing.blocks import build_blocks
+
+            flat_full = spark.read.parquet(f"{path}/postings").select(
+                "term", "docint", "tf", "doclen"
+            )
+            (
+                build_blocks(flat_full, meta["avg_doclen"])
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/blocks")
+            )
         return cls.load(spark, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        blocks = None
+        if os.path.isdir(os.path.join(path, "blocks")):
+            blocks = spark.read.parquet(f"{path}/blocks").drop("bucket")
         return cls(
             spark.read.parquet(f"{path}/postings").drop("bucket"),
             spark.read.parquet(f"{path}/docs"),
             spark.read.parquet(f"{path}/terms"),
             int(meta["n_docs"]),
             float(meta["avg_doclen"]),
+            blocks=blocks,
         )
 
     def unpersist(self) -> None:

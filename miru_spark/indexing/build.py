@@ -46,15 +46,24 @@ def base_with_docint(turns: DataFrame) -> DataFrame:
 
 
 def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
-    """``(term, docint, tf[, positions])`` — the flat inverted index.
+    """``(term, docint, tf, doclen[, positions])`` — the flat inverted index.
 
-    ``positions`` (token offsets per doc) power phrase queries; skip them
-    for a leaner index.
+    ``doclen`` is denormalized onto every posting row (one small int,
+    dictionary/RLE-friendly in parquet): BM25 scoring then needs NO join
+    back to the doc table, and block building needs no shuffle beyond
+    its own groupBy. ``positions`` (token offsets) power phrase queries;
+    skip them for a leaner index.
     """
+    toks = tokens_col("text")
     exploded = base.select(
-        "docint", F.posexplode(tokens_col("text")).alias("pos", "term")
+        "docint",
+        F.size(toks).alias("doclen"),
+        F.posexplode(toks).alias("pos", "term"),
     )
-    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    aggs = [
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.first("doclen").alias("doclen"),
+    ]
     if positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return exploded.groupBy("term", "docint").agg(*aggs)
@@ -85,24 +94,32 @@ def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
             out_term: list[str] = []
             out_tf: list[int] = []
             out_pos: list[list[int]] = []
+            out_dl: list[int] = []
             for docint, text in zip(pdf["docint"], pdf["text"]):
                 if not text:
                     continue
+                toks = _PY_TOKEN.findall(text.lower())
                 acc: dict[str, list[int]] = defaultdict(list)
-                for i, t in enumerate(_PY_TOKEN.findall(text.lower())):
+                for i, t in enumerate(toks):
                     acc[t].append(i)
                 for t, ps in acc.items():
                     out_doc.append(docint)
                     out_term.append(t)
                     out_tf.append(len(ps))
+                    out_dl.append(len(toks))
                     if want_pos:
                         out_pos.append(ps)
-            cols = {"term": out_term, "docint": out_doc, "tf": out_tf}
+            cols = {
+                "term": out_term,
+                "docint": out_doc,
+                "tf": out_tf,
+                "doclen": out_dl,
+            }
             if want_pos:
                 cols["positions"] = out_pos
             yield pd.DataFrame(cols)
 
-    schema = "term string, docint long, tf int" + (
+    schema = "term string, docint long, tf int, doclen int" + (
         ", positions array<int>" if positions else ""
     )
     return base.select("docint", "text").mapInPandas(tok, schema=schema)

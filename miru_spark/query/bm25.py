@@ -75,20 +75,24 @@ def search(
     ev = FilterEvaluator(index)
     matched = ev.matching_docs(node)
 
-    docs = index.docs
-    if ts_lo is not None:
-        docs = docs.where(F.col("ts") >= F.lit(ts_lo))
-    if ts_hi is not None:
-        docs = docs.where(F.col("ts") <= F.lit(ts_hi))
+    if ts_lo is not None or ts_hi is not None:
+        # time-range mask as a semi-join against the (pruned) doc table
+        in_range = index.docs
+        if ts_lo is not None:
+            in_range = in_range.where(F.col("ts") >= F.lit(ts_lo))
+        if ts_hi is not None:
+            in_range = in_range.where(F.col("ts") <= F.lit(ts_hi))
+        matched = matched.join(in_range.select("docint"), "docint", "left_semi")
 
-    if strategy == "time":
-        out = (
-            matched.join(docs, "docint")
-            .select("conv_id", "turn_idx", "docint", F.lit(0.0).alias("score"))
-            .orderBy(F.desc("docint"))
-            .limit(k)
+    meta = index.docs.select("docint", "conv_id", "turn_idx")
+
+    def _finish(topk: DataFrame) -> DataFrame:
+        # metadata joins AFTER the limit: k rows, not the full answer set
+        return (
+            topk.join(meta, "docint")
+            .orderBy(F.desc("score"), F.desc("docint"))
+            .select("conv_id", "turn_idx", "docint", "score")
         )
-        return out
 
     leaves = positive_text_leaves(node)
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
@@ -101,25 +105,27 @@ def search(
         c = F.col("term").startswith(p)
         pred = c if pred is None else (pred | c)
 
-    if pred is None:
-        # no positive text terms (pure metadata / negation query): score 0
-        out = (
-            matched.join(docs, "docint")
-            .select("conv_id", "turn_idx", "docint", F.lit(0.0).alias("score"))
+    if strategy == "time" or pred is None:
+        # newest-k (FullText.collectTime) / pure-metadata queries: score 0
+        topk = (
+            matched.select("docint", F.lit(0.0).alias("score"))
             .orderBy(F.desc("docint"))
             .limit(k)
         )
-        return out
+        return _finish(topk)
 
     # broadcast the tiny per-query term-weight table (idf per term)
     qterms = F.broadcast(
-        index.terms.where(pred).select("term", idf_col(F.col("df"), index.n_docs).alias("idf"))
+        index.terms.where(pred).select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
     )
+    # doclen rides on the posting rows — scoring touches ONLY the
+    # postings table + the broadcast weights (index-only access path)
     contribs = (
         index.postings.where(pred)
         .join(qterms, "term")
         .join(matched, "docint", "left_semi")
-        .join(docs.select("docint", "doclen"), "docint")
         .withColumn(
             "contrib",
             bm25_contrib(
@@ -134,12 +140,11 @@ def search(
     )
     # matched docs with no positive term still answer, at score 0
     # (the reference scores the whole filtered answer set, FullText.java:139)
-    scored = (
-        matched.join(docs.select("docint", "conv_id", "turn_idx"), "docint")
-        .join(contribs, "docint", "left")
+    topk = (
+        matched.join(contribs, "docint", "left")
         .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
         .orderBy(F.desc("score"), F.desc("docint"))
         .limit(k)
-        .select("conv_id", "turn_idx", "docint", "score")
+        .select("docint", "score")
     )
-    return scored
+    return _finish(topk)
