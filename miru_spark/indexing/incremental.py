@@ -1,0 +1,294 @@
+"""Sharded, resumable, incremental index build with a manifest.
+
+Reference semantics being re-expressed (enterstudio/miru):
+
+- a tenant's stream splits into capacity-bounded partitions, each with
+  its own dense doc-id space handed out by a writer cursor
+  (``miru-writer/.../AmzaPartitionIdProvider.java:49,118-138``);
+- ingestion is resumable from a **sip cursor** — a durable checkpoint
+  of the last consumed position plus custom keys
+  (``miru-plugin/.../index/MiruSipIndex.java:20-42``); the deferred
+  text indexer advances its own checkpoint after each consumed batch
+  (``miru-stream-plugins/.../fulltext/FullTextGatherer.java:175-253``);
+- rebuild is an idempotent replay (``MiruLocalHostedPartition.rebuild``).
+
+Spark-native design:
+
+- the conv_id space hash-splits into ``n_shards`` **shards**; each shard
+  builds an independent segment directory, so a killed build re-runs
+  ONLY the shards missing from the manifest (per-partition lineage);
+- docint is composite: ``(shard_id << 40) | local_id`` with local_id
+  dense in (conv_id, turn_idx) order within the shard — Miru's
+  partition-scoped prime ordering. 2^40 turns/shard × 2^23 shards
+  covers the 10^12-turn target without any global sort;
+- appends land as **delta segments** per shard (``delta_k``), with the
+  shard watermark = max (conv_id, turn_idx) already indexed; new local
+  ids continue after the shard's ``next_id`` (insertion order, exactly
+  the reference's append semantics);
+- ``manifest.jsonl`` records one line per completed unit with lineage
+  + metrics: shard, delta index, watermark, row/posting counts, build
+  wall-time, files;
+- an explicit **merge job** compacts a shard's base+delta segments into
+  one sorted segment (the reference's chit-throttled delta→chunk merge,
+  ``MiruPartitionAccessor.merge:362-387``).
+
+Query serving loads the union of all live segments; BM25 term stats
+(df/cf) and corpus stats aggregate across segments at load — global,
+unlike the reference's per-partition scoring (an upgrade, not a drift:
+rank-identity is defined against this engine's oracle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.indexing.build import postings_flat, term_stats
+
+SHARD_BITS = 40
+
+
+def shard_col(n_shards: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_shards)).cast("int")
+
+
+@dataclass
+class SegmentStore:
+    spark: SparkSession
+    path: str
+    n_shards: int = 8
+    positions: bool = False
+    blocks: bool = False
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.jsonl")
+
+    def manifest(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_manifest(self, entry: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def shard_state(self) -> dict[int, dict]:
+        """Latest watermark/next_id per shard from the manifest."""
+        state: dict[int, dict] = {}
+        for e in self.manifest():
+            s = e["shard"]
+            cur = state.get(s)
+            if cur is None or e["delta"] >= cur["delta"]:
+                state[s] = e
+        return state
+
+    # -- build -------------------------------------------------------------
+
+    def build(self, turns: DataFrame, fail_after: int | None = None) -> None:
+        """Full build, resumable: skips shards already in the manifest.
+
+        ``fail_after`` aborts after N shards (test hook for the
+        kill-and-resume scenario).
+        """
+        done = {s for s, e in self.shard_state().items() if e["delta"] == 0}
+        built = 0
+        with_shard = turns.withColumn("_shard", shard_col(self.n_shards))
+        for s in range(self.n_shards):
+            if s in done:
+                continue
+            if fail_after is not None and built >= fail_after:
+                raise RuntimeError(f"injected failure after {built} shards")
+            self._build_unit(
+                with_shard.where(F.col("_shard") == s).drop("_shard"),
+                shard=s,
+                delta=0,
+                base_local_id=0,
+            )
+            built += 1
+
+    def append(self, new_turns: DataFrame) -> None:
+        """Sip-style incremental append: index only rows beyond each
+        shard's watermark, as a new delta segment per touched shard."""
+        state = self.shard_state()
+        with_shard = new_turns.withColumn("_shard", shard_col(self.n_shards))
+        for s in range(self.n_shards):
+            st = state.get(s)
+            if st is None:
+                raise RuntimeError(f"shard {s} has no base segment; run build()")
+            shard_rows = with_shard.where(F.col("_shard") == s).drop("_shard")
+            wc, wt = st["watermark_conv"], st["watermark_turn"]
+            if wc is not None:
+                shard_rows = shard_rows.where(
+                    (F.col("conv_id") > wc)
+                    | ((F.col("conv_id") == wc) & (F.col("turn_idx") > wt))
+                )
+            if shard_rows.limit(1).count() == 0:
+                continue
+            self._build_unit(
+                shard_rows,
+                shard=s,
+                delta=st["delta"] + 1,
+                base_local_id=st["next_id"],
+            )
+
+    def _unit_dir(self, shard: int, delta: int) -> str:
+        return os.path.join(self.path, f"shard={shard}", f"delta_{delta:04d}")
+
+    def _build_unit(
+        self, rows: DataFrame, shard: int, delta: int, base_local_id: int
+    ) -> None:
+        t0 = time.time()
+        out = self._unit_dir(shard, delta)
+        # local dense id in (conv_id, turn_idx) order, continuing after
+        # base_local_id — the shard's writer cursor. with_docint's
+        # conv-offset decomposition avoids a single-partition global
+        # window even within the shard.
+        from miru_spark.docids import with_docint
+
+        base = with_docint(rows).withColumn(
+            "docint",
+            (
+                F.lit(shard << SHARD_BITS) + F.lit(base_local_id) + F.col("docint")
+            ).cast("long"),
+        )
+        flat = postings_flat(base, positions=self.positions)
+        flat.write.mode("overwrite").parquet(f"{out}/postings")
+        written = self.spark.read.parquet(f"{out}/postings")
+        (
+            base.select("docint", "conv_id", "turn_idx", "role", "tool", "ts")
+            .join(
+                written.groupBy("docint").agg(
+                    F.sum("tf").cast("int").alias("doclen")
+                ),
+                "docint",
+                "left",
+            )
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+            .write.mode("overwrite")
+            .parquet(f"{out}/docs")
+        )
+        term_stats(written.select("term", "docint", "tf")).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/terms")
+        docs = self.spark.read.parquet(f"{out}/docs")
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doclen").alias("sdl"),
+            F.max("conv_id").alias("wc"),
+        ).collect()[0]
+        n_turns = int(row["n"])
+        wc = row["wc"]
+        wt = (
+            docs.where(F.col("conv_id") == wc).agg(F.max("turn_idx")).collect()[0][0]
+            if wc is not None
+            else None
+        )
+        n_post = written.count()
+        files = sorted(
+            fn for fn in os.listdir(out) if not fn.startswith(".")
+        )
+        self._append_manifest(
+            {
+                "shard": shard,
+                "delta": delta,
+                "watermark_conv": wc,
+                "watermark_turn": int(wt) if wt is not None else None,
+                "next_id": base_local_id + n_turns,
+                "n_turns": n_turns,
+                "n_postings": int(n_post),
+                "sum_doclen": int(row["sdl"] or 0),
+                "build_ms": int((time.time() - t0) * 1000),
+                "files": files,
+            }
+        )
+
+    # -- merge (compaction) ------------------------------------------------
+
+    def merge_shard(self, shard: int) -> None:
+        """Compact all of a shard's segments into one (delta→chunk merge,
+        reference MiruPartitionAccessor.merge:362-387). Idempotent: the
+        merged unit replaces the shard's lineage under delta index =
+        latest (so future appends continue from the same watermark)."""
+        state = self.shard_state()
+        st = state.get(shard)
+        if st is None or st["delta"] == 0:
+            return  # nothing to merge
+        units = sorted(
+            d
+            for d in os.listdir(os.path.join(self.path, f"shard={shard}"))
+            if d.startswith("delta_")
+        )
+        paths = [os.path.join(self.path, f"shard={shard}", d) for d in units]
+        merged_tmp = os.path.join(self.path, f"shard={shard}", "_merged_tmp")
+        post = self.spark.read.parquet(*[f"{p}/postings" for p in paths])
+        (
+            post.repartition(max(1, post.rdd.getNumPartitions() // len(paths)))
+            .sortWithinPartitions("term", "docint")
+            .write.mode("overwrite")
+            .parquet(f"{merged_tmp}/postings")
+        )
+        self.spark.read.parquet(*[f"{p}/docs" for p in paths]).write.mode(
+            "overwrite"
+        ).parquet(f"{merged_tmp}/docs")
+        term_stats(
+            self.spark.read.parquet(f"{merged_tmp}/postings").select(
+                "term", "docint", "tf"
+            )
+        ).write.mode("overwrite").parquet(f"{merged_tmp}/terms")
+        import shutil
+
+        for p in paths:
+            shutil.rmtree(p)
+        final = self._unit_dir(shard, st["delta"])
+        os.rename(merged_tmp, final)
+        self._append_manifest({**st, "merged_from": units, "files": ["merged"]})
+
+    # -- load --------------------------------------------------------------
+
+    def live_units(self) -> list[str]:
+        out = []
+        for s in range(self.n_shards):
+            sdir = os.path.join(self.path, f"shard={s}")
+            if not os.path.isdir(sdir):
+                continue
+            out.extend(
+                os.path.join(sdir, d)
+                for d in sorted(os.listdir(sdir))
+                if d.startswith("delta_")
+            )
+        return out
+
+    def load(self) -> InvertedIndex:
+        units = self.live_units()
+        if not units:
+            raise RuntimeError("no segments built")
+        post = self.spark.read.parquet(*[f"{u}/postings" for u in units])
+        docs = self.spark.read.parquet(*[f"{u}/docs" for u in units])
+        # global stats: re-aggregate per-unit term stats (cheap — they
+        # are already per-term partial aggregates)
+        terms = (
+            self.spark.read.parquet(*[f"{u}/terms" for u in units])
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_docint").alias("max_docint"),
+            )
+        )
+        n_docs = sum(e["n_turns"] for e in self.manifest() if "merged_from" not in e)
+        sum_dl = sum(
+            e["sum_doclen"] for e in self.manifest() if "merged_from" not in e
+        )
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+        return InvertedIndex(post, docs, terms, n_docs, avgdl)

@@ -1,0 +1,87 @@
+"""Resumable sharded build + sip-style append + merge (north rule:
+checkpointed per-partition lineage + metrics; reference sip cursor
+MiruSipIndex.java:20-42, FullTextGatherer.java:175-253)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_spark.indexing.incremental import SegmentStore
+from miru_spark.oracle import PandasIndex
+from miru_spark.query.bm25 import search
+
+N_SHARDS = 4
+
+
+def _store(spark, path):
+    return SegmentStore(spark, str(path), n_shards=N_SHARDS)
+
+
+def _assert_matches_oracle(idx, pdf, query, k=10):
+    got = search(idx, query, k=k).toPandas()
+    exp = PandasIndex(pdf).search(query, k=k)
+    # sharded docints differ from the oracle's global rank — compare doc
+    # identity sets and scores (scores use global stats, so they match)
+    gset = {(r.conv_id, r.turn_idx): r.score for r in got.itertuples()}
+    eset = {(r.conv_id, r.turn_idx): r.score for r in exp.itertuples()}
+    # ties at the k boundary may resolve to different docs; compare score
+    # multisets and the non-tied prefix
+    assert np.allclose(
+        sorted(gset.values()), sorted(eset.values()), atol=1e-6
+    ), query
+    for key, s in gset.items():
+        if key not in eset:
+            assert any(abs(s - v) < 1e-6 for v in eset.values()), (query, key)
+
+
+def test_resume_after_failure(spark, tiny_turns, tiny_pdf, tmp_path):
+    store = _store(spark, tmp_path / "seg")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        store.build(tiny_turns, fail_after=2)
+    assert len(store.manifest()) == 2  # two shards committed before the kill
+    # resume: only the remaining shards build
+    store.build(tiny_turns)
+    m = store.manifest()
+    assert len(m) == N_SHARDS
+    assert sorted(e["shard"] for e in m) == list(range(N_SHARDS))
+    assert sum(e["n_turns"] for e in m) == len(tiny_pdf)
+    # metrics + lineage present
+    for e in m:
+        assert e["build_ms"] >= 0 and e["n_postings"] > 0 and e["files"]
+    idx = store.load()
+    assert idx.n_docs == len(tiny_pdf)
+    _assert_matches_oracle(idx, tiny_pdf, "w00001 AND w00004")
+    _assert_matches_oracle(idx, tiny_pdf, "w00000")
+
+
+def test_build_is_idempotent(spark, tiny_turns, tmp_path):
+    store = _store(spark, tmp_path / "seg")
+    store.build(tiny_turns)
+    n = len(store.manifest())
+    store.build(tiny_turns)  # no-op: all shards present
+    assert len(store.manifest()) == n
+
+
+def test_append_and_merge(spark, tiny_turns, tiny_pdf, tmp_path):
+    half1 = tiny_turns.where("conv_id < 'conv00000050'")
+    half2 = tiny_turns.where("conv_id >= 'conv00000050'")
+    store = _store(spark, tmp_path / "seg")
+    store.build(half1)
+    base_docs = store.load().n_docs
+    # sip append: only rows beyond the watermark get indexed
+    store.append(tiny_turns)  # includes already-indexed rows — skipped
+    idx = store.load()
+    assert idx.n_docs == len(tiny_pdf)
+    assert base_docs < len(tiny_pdf)
+    _assert_matches_oracle(idx, tiny_pdf, "w00001 AND w00004")
+    # appending the same data again is a no-op
+    store.append(tiny_turns)
+    assert store.load().n_docs == len(tiny_pdf)
+    # merge compacts delta segments; results unchanged
+    for s in range(N_SHARDS):
+        store.merge_shard(s)
+    idx2 = store.load()
+    assert idx2.n_docs == len(tiny_pdf)
+    _assert_matches_oracle(idx2, tiny_pdf, "w00001 AND w00004")
+    _assert_matches_oracle(idx2, tiny_pdf, "w00003 OR w09999")
