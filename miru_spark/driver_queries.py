@@ -449,3 +449,348 @@ ORDER BY total_spent DESC, c_custkey ASC
 LIMIT 20
 """,
 )
+
+
+# -- training-data pipeline: dedup / similarity / text analysis --------------
+
+_MD5L = "(('0x' || substring(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+# shared shingle prelude (k=3) over documents
+_SH_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS shingle
+  FROM tok
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
+_JACCARD_VERIFY_SQL = """
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       ROUND(s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN sizes za ON za.id = s.id_a
+JOIN sizes zb ON zb.id = s.id_b
+WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= {tau}
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.dedup import exact_dup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dup_groups(d)
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    f"""
+SELECT {_MD5L.format(x=_NORM)} AS fp, COUNT(*)::BIGINT AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.5)
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _q_ngram_jaccard,
+    _SH_SQL
+    + """,
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+"""
+    + _JACCARD_VERIFY_SQL.format(tau=0.5),
+)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, n_hashes=8, band_size=2, k=3, threshold=0.5)
+
+
+_register(
+    "dedup_minhash_lsh",
+    _q_minhash_lsh,
+    _SH_SQL
+    + f""",
+sig AS (
+  SELECT id, seed,
+         MIN({_MD5L.format(x="shingle || '#' || seed")}) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, (seed // 2)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id
+),
+"""
+    + _JACCARD_VERIFY_SQL.format(tau=0.5),
+)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d)
+
+
+_register(
+    "dedup_simhash",
+    _q_simhash,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, c, {_MD5L.format(x="t")} AS hv FROM tf),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN c ELSE -c END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) b
+  GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       COALESCE(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS simhash
+FROM bits GROUP BY 1
+""",
+)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(e, query_id=0, k=10)
+
+
+_register(
+    "knn_cosine",
+    _q_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0)
+SELECT vec_id, ROUND({_COS_SQL.format(a='v', b='qv')}, 4) AS cosine
+FROM d CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""",
+)
+
+
+def _q_emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.similarity import cosine_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(e, threshold=0.4)
+
+
+_register(
+    "dedup_embedding",
+    _q_emb_dups,
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_SQL.format(a='a.v', b='b.v')}, 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL.format(a='a.v', b='b.v')}, 4) >= 0.4
+""",
+)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.textstats import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(d)
+
+
+_register(
+    "text_token_counts",
+    _q_token_counts,
+    f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t, text
+  FROM documents
+)
+SELECT doc_id AS id, len(t)::INT AS n_tokens,
+       len(list_distinct(t))::INT AS n_unique_tokens,
+       length({_NORM})::INT AS n_chars_norm
+FROM tok
+""",
+)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.textstats import quality_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(d)
+
+
+_register(
+    "text_quality",
+    _q_quality,
+    """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+         lower(text) AS low
+  FROM documents
+),
+m AS (
+  SELECT doc_id AS id, len(t)::INT AS n_tokens,
+         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
+         ROUND(len(list_filter(t, x -> list_contains(
+             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+             / greatest(len(t), 1), 4) AS stop_ratio,
+         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
+             / greatest(length(low), 1), 4) AS alnum_ratio,
+         ROUND(length(array_to_string(t, ''))::DOUBLE
+             / greatest(len(t), 1), 4) AS avg_token_len
+  FROM tok
+)
+SELECT id, n_tokens, ttr, stop_ratio, alnum_ratio, avg_token_len,
+       ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS quality
+FROM m
+""",
+)
+
+
+def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.textstats import lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(d)
+
+
+_register(
+    "text_lang_id",
+    _q_lang,
+    """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    ROUND(len(list_filter(t, x -> list_contains(
+      ['der','die','und','ist','nicht','das','mit','ein'], x)))::DOUBLE
+      / greatest(len(t), 1), 4) AS s_de,
+    ROUND(len(list_filter(t, x -> list_contains(
+      ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+      / greatest(len(t), 1), 4) AS s_en,
+    ROUND(len(list_filter(t, x -> list_contains(
+      ['el','la','que','de','los','es','una','por'], x)))::DOUBLE
+      / greatest(len(t), 1), 4) AS s_es,
+    ROUND(len(list_filter(t, x -> list_contains(
+      ['le','la','et','les','des','est','une','dans'], x)))::DOUBLE
+      / greatest(len(t), 1), 4) AS s_fr
+  FROM tok
+)
+SELECT doc_id AS id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  greatest(s_de, s_en, s_es, s_fr) AS lang_score
+FROM sc
+""",
+)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.textstats import doc_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprints(d)
+
+
+_register(
+    "text_fingerprint",
+    _q_fingerprints,
+    f"""
+SELECT doc_id AS id, md5({_NORM}) AS fp_md5,
+       {_MD5L.format(x=_NORM)} AS fp_long
+FROM documents
+""",
+)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.operators.multimodal import documents_as_binary, extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(documents_as_binary(d))
+
+
+_register(
+    "multimodal_features",
+    _q_multimodal,
+    f"""
+WITH h AS (
+  SELECT doc_id AS id, octet_length(encode(text))::INT AS n_bytes,
+         {_MD5L.format(x="text")} AS content_hash
+  FROM documents
+)
+SELECT id, n_bytes, content_hash,
+       (1 + (content_hash % 1920))::INT AS width,
+       (1 + ((content_hash // 1920) % 1080))::INT AS height,
+       'fake' AS fmt
+FROM h
+""",
+)
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path — no SQL oracle (deterministic hyperplanes live in the
+    engine); recall vs brute force is asserted in pytest."""
+    from miru_spark.operators.similarity import lsh_bucket_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(e, query_id=0, k=10, n_bits=8)
+
+
+_register("knn_cosine_lsh", _q_knn_lsh, None)

@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All shapes are the standard large-corpus dedup pipeline expressed as
+DataFrame jobs. Scale notes per operator:
+
+- **exact**: one groupBy on a 60-bit fingerprint — the shuffle key is
+  uniform by construction (hash), no skew.
+- **n-gram Jaccard**: candidate pairs via a shared-shingle equi-join
+  (only docs sharing ≥1 shingle meet), then exact Jaccard verify. At
+  100 TB you bound the join by dropping ultra-common shingles (df cap),
+  same as heavy-term salting; the `max_df` knob does that here.
+- **MinHash + LSH**: signatures = min over shingles of H seeded hashes
+  (one groupBy); banding joins docs only within equal band buckets —
+  the classic sub-quadratic near-dup path. Candidates are verified with
+  exact Jaccard so the operator's output is deterministic given the
+  hash family (md5 — oracle-reproducible).
+- **SimHash**: 32-bit signature via per-bit weighted majority over
+  token hashes; Hamming-close pairs are near-dups. Computed with a
+  vectorized pandas UDF (popcount tricks), oracle-checked against a
+  pure-SQL bit-explode formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.operators.hashing import md5_long, norm_text
+from miru_spark.tokenize import tokens_col
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp) — 60-bit content fingerprint over normalized text."""
+    return docs.select(
+        F.col(id_col), md5_long(norm_text(F.col(text_col))).alias("fp")
+    )
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per fingerprint: group size + the doc to keep (min id)."""
+    return (
+        fingerprint(docs, id_col, text_col)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct token k-grams per doc."""
+    toks = tokens_col(text_col)
+    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark — short docs
+    # must yield an empty shingle list, not a bogus one
+    sh = F.expr(
+        f"CASE WHEN size(tokens) >= {k} THEN "
+        f"transform(sequence(1, size(tokens) - {k - 1}), "
+        f"i -> array_join(slice(tokens, i, {k}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("tokens"))
+        .select("id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with Jaccard(k-shingles) ≥ t.
+
+    ``max_df`` drops shingles shared by more than that many docs before
+    the pair join (the stop-shingle cap that keeps the join sub-
+    quadratic on skewed corpora); verification Jaccard still uses the
+    full shingle sets, so the score is exact for surviving pairs.
+    """
+    sh = shingles(docs, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_sh = sh
+    if max_df is not None:
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(common, "shingle", "left_anti")
+    a, b = join_sh.alias("a"), join_sh.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on full shingle sets
+    shared = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, seed, minhash) — H seeded min-hashes over k-shingles."""
+    sh = shingles(docs, k, id_col, text_col)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(n_hashes)])
+    ).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .withColumn(
+            "h",
+            md5_long(F.concat(F.col("shingle"), F.lit("#"), F.col("seed"))),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-banded candidate pairs, verified with exact Jaccard ≥ t.
+
+    bands = H / band_size; a pair is a candidate iff it collides in at
+    least one band (equal minhashes across the band's rows).
+    """
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            # band key = minhashes in seed order (deterministic tuple)
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(seed, minhash))), "
+                "x -> cast(x.minhash as string)), ',')"
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify with exact Jaccard over shingle sets
+    sh = shingles(docs, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over unique tokens (tf-weighted).
+
+    Vectorized pandas UDF: per Arrow batch, token hashes come from a
+    md5 dict cache (vocabulary-sized), bit contributions via numpy
+    unpacking — no per-bit Python. Oracle-checked against the SQL
+    bit-explode formulation (same md5 hash family).
+    """
+    import hashlib
+
+    from miru_spark.tokenize import _PY_TOKEN
+
+    def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                cache[tok] = v
+            return v
+
+        bit_id = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                toks = _PY_TOKEN.findall((text or "").lower())
+                if not toks:
+                    continue
+                vals, counts = np.unique(
+                    np.array([h(t) for t in toks], dtype=np.uint64),
+                    return_counts=True,
+                )
+                bits = (vals[:, None] >> bit_id) & np.uint64(1)  # (n,32)
+                votes = (counts[:, None] * np.where(bits == 1, 1, -1)).sum(axis=0)
+                out[i] = int(((votes > 0).astype(np.uint64) << bit_id).sum())
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(sim_batches, schema="id long, simhash long")

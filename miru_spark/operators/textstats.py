@@ -1,0 +1,135 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprints. All formulas are engine-portable (the DuckDB
+oracle reproduces them exactly) and JVM-side (no Python in the path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.operators.hashing import norm_text
+from miru_spark.tokenize import tokens_col
+
+# deterministic marker lists for the n-gram/stopword language heuristic;
+# ties break by language name ascending
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht", "das", "mit", "ein"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "que", "de", "los", "es", "una", "por"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, n_unique_tokens, n_chars_norm)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(norm_text(F.col(text_col))).alias("n_chars_norm"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score in [0,1]:
+
+    - ``ttr`` type-token ratio (lexical diversity)
+    - ``stop_ratio`` fraction of tokens in the stopword list (natural
+      text has some; keyword soup has none)
+    - ``alnum_ratio`` fraction of characters that are [a-z0-9' ]
+    - ``avg_token_len``
+    - ``quality``: mean of (ttr, min(stop_ratio*4, 1), alnum_ratio)
+    """
+    toks = tokens_col(text_col)
+    low = F.lower(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alnum = F.length(F.regexp_replace(low, "[^a-z0-9' ]", ""))
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "ttr"
+        ),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stop_ratio"),
+        F.round(n_alnum / F.greatest(F.length(low), F.lit(1)), 4).alias(
+            "alnum_ratio"
+        ),
+        F.round(
+            (F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1))), 4
+        ).alias("avg_token_len"),
+    )
+    return out.withColumn(
+        "quality",
+        F.round(
+            (
+                F.col("ttr")
+                + F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+                + F.col("alnum_ratio")
+            )
+            / 3.0,
+            4,
+        ),
+    )
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, lang_pred, lang_score) — argmax of marker-token hit rate.
+
+    Deterministic: ties break by language code ascending; docs with no
+    marker hits get 'und' (undetermined).
+    """
+    toks = tokens_col(text_col)
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        cols.append(
+            F.struct(
+                F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max picks highest score; struct comparison breaks score ties
+    # by the SECOND field descending... we need ascending lang on ties,
+    # so compare (score, reversed-rank) — encode rank as negative index.
+    ranked = []
+    for i, c in enumerate(cols):
+        ranked.append(
+            F.struct(
+                c["score"].alias("score"),
+                F.lit(-i).alias("rk"),
+                c["lang"].alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*ranked))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp_md5, fp_long) — full md5 hex + 60-bit prefix int."""
+    from miru_spark.operators.hashing import md5_long
+
+    norm = norm_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp_md5"),
+        md5_long(norm).alias("fp_long"),
+    )

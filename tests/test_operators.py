@@ -1,0 +1,113 @@
+"""Training-data pipeline operators: invariants + ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_self_consistency(documents):
+    from miru_spark.operators.dedup import exact_dup_groups
+
+    g = exact_dup_groups(documents).toPandas()
+    assert g["n_docs"].sum() == documents.count()
+    # duplicating the corpus doubles every group size, same keep ids
+    doubled = documents.unionByName(
+        documents.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    g2 = exact_dup_groups(doubled).toPandas()
+    assert (g2["n_docs"] >= 2).all()
+    assert set(g2["keep_id"]) == set(g["keep_id"])  # min ids unchanged
+
+
+def test_minhash_lsh_recall_vs_exact(documents):
+    """LSH candidates must recover most true near-dup pairs (J ≥ .5)."""
+    from miru_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(documents, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(documents, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verify step guarantees no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # recall of the banded probe
+
+
+def test_simhash_near_dup_property(spark):
+    """Docs differing by one token get Hamming-close simhashes;
+    unrelated docs don't."""
+    from miru_spark.operators.dedup import simhash
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy cat near the river bank"),
+        (2, "completely different content about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    ham01 = bin(s[0] ^ s[1]).count("1")
+    ham02 = bin(s[0] ^ s[2]).count("1")
+    assert ham01 < ham02
+    assert ham01 <= 8
+
+
+def test_lsh_topk_recall(embeddings):
+    from miru_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucket_topk(embeddings, 0, k=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"ANN recall too low: {overlap}"
+    # scores of returned neighbors must be exact (probed set is scored
+    # exactly — approximation is only in candidate selection)
+    ec = {r["vec_id"]: r["cosine"] for r in cosine_topk(embeddings, 0, k=200).collect()}
+    for r in lsh_bucket_topk(embeddings, 0, k=10).collect():
+        assert abs(ec[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_multimodal_plumbing(spark, documents):
+    from miru_spark.operators.multimodal import (
+        documents_as_binary,
+        extract_features,
+    )
+
+    feats = extract_features(documents_as_binary(documents))
+    pdf = feats.toPandas()
+    assert len(pdf) == documents.count()
+    assert (pdf["n_bytes"] > 0).all()
+    assert ((pdf["width"] >= 1) & (pdf["width"] <= 1920)).all()
+    assert ((pdf["height"] >= 1) & (pdf["height"] <= 1080)).all()
+    # deterministic: same payload → same features
+    pdf2 = feats.toPandas()
+    assert pdf.sort_values("id").equals(pdf2.sort_values("id"))
+
+
+def test_shingle_short_doc_guard(spark):
+    from miru_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "a"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    sh = shingles(df, k=3).collect()
+    by_id: dict[int, list[str]] = {}
+    for r in sh:
+        by_id.setdefault(r["id"], []).append(r["shingle"])
+    assert 0 not in by_id and 1 not in by_id and 2 not in by_id
+    assert sorted(by_id[3]) == ["a b c", "b c d"]
