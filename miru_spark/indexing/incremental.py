@@ -124,22 +124,21 @@ class SegmentStore:
         with_shard = new_turns.withColumn("_shard", shard_col(self.n_shards))
         for s in range(self.n_shards):
             st = state.get(s)
-            if st is None:
-                raise RuntimeError(f"shard {s} has no base segment; run build()")
             shard_rows = with_shard.where(F.col("_shard") == s).drop("_shard")
-            wc, wt = st["watermark_conv"], st["watermark_turn"]
-            if wc is not None:
-                shard_rows = shard_rows.where(
-                    (F.col("conv_id") > wc)
-                    | ((F.col("conv_id") == wc) & (F.col("turn_idx") > wt))
-                )
+            if st is not None:
+                wc, wt = st["watermark_conv"], st["watermark_turn"]
+                if wc is not None:
+                    shard_rows = shard_rows.where(
+                        (F.col("conv_id") > wc)
+                        | ((F.col("conv_id") == wc) & (F.col("turn_idx") > wt))
+                    )
             if shard_rows.limit(1).count() == 0:
                 continue
             self._build_unit(
                 shard_rows,
                 shard=s,
-                delta=st["delta"] + 1,
-                base_local_id=st["next_id"],
+                delta=(st["delta"] + 1) if st else 0,
+                base_local_id=st["next_id"] if st else 0,
             )
 
     def _unit_dir(self, shard: int, delta: int) -> str:

@@ -1,0 +1,109 @@
+"""Two-cluster-size scaling harness (north-rule evidence).
+
+No real multi-node cluster exists in this sandbox, so the N-vs-4N
+executor criterion is evidenced by running the SAME build+query job on
+the SAME deterministic input at two local parallelism levels (separate
+JVMs), as documented in BASELINE.md §3:
+
+    scaling_efficiency = (throughput_4N / throughput_N) / 4   (target ≥ 0.8)
+
+Usage: python tools/bench_scaling.py [--turns 300000] [--small 8]
+       [--big 32] [--out BENCH]
+Writes one JSON line per level to stdout and BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, tempfile, shutil, time
+sys.path.insert(0, {repo!r})
+cores = int(sys.argv[1]); n_convs = int(sys.argv[2])
+from miru_spark.session import get_spark
+from miru_spark.transcripts import generate_transcripts
+from miru_spark.index import InvertedIndex
+from miru_spark.query.bm25 import search
+
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
+# warmup (JIT) on a small corpus, same code paths
+warm = generate_transcripts(spark, n_convs=1500, max_turns=24, seed=7).persist()
+warm.count()
+wd = tempfile.mkdtemp()
+wi = InvertedIndex.build_persisted(warm, wd, positions=False)
+search(wi, "w00001 AND w00002", k=5).collect()
+warm.unpersist(); shutil.rmtree(wd, ignore_errors=True)
+
+turns = generate_transcripts(spark, n_convs=n_convs, max_turns=24, seed=42).persist()
+n = turns.count()
+best = None
+for _ in range(2):
+    seg = tempfile.mkdtemp()
+    t0 = time.time()
+    idx = InvertedIndex.build_persisted(turns, seg, positions=False)
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+    qt0 = time.time()
+    for q in ["w00001 AND w00004", "w00002 OR w00007", "w0001*"]:
+        search(idx, q, k=10).collect()
+    q_sec = time.time() - qt0
+    shutil.rmtree(seg, ignore_errors=True)
+print(json.dumps({{"cores": cores, "turns": n, "build_sec": round(best, 3),
+                   "turns_per_sec": round(n / best, 1),
+                   "query3_sec": round(q_sec, 3)}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, cores: int, n_convs: int) -> dict:
+    code = WORKER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_convs)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=300_000)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--big", type=int, default=32)
+    ap.add_argument("--out", default="BENCH")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_convs = max(args.turns // 12, 1)
+
+    small = run_level(repo, args.small, n_convs)
+    print(json.dumps(small))
+    big = run_level(repo, args.big, n_convs)
+    print(json.dumps(big))
+
+    ratio = big["turns_per_sec"] / small["turns_per_sec"]
+    factor = args.big / args.small
+    eff = ratio / factor
+    result = {
+        "small": small,
+        "big": big,
+        "speedup": round(ratio, 3),
+        "core_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(repo, args.out), exist_ok=True)
+    with open(os.path.join(repo, args.out, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
