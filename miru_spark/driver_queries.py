@@ -98,11 +98,13 @@ LIMIT {k}
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 
 
-def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    key = f"{id(spark)}:{sf_dir}"
+def _index_for(
+    spark: SparkSession, sf_dir: str, positions: bool = False
+) -> InvertedIndex:
+    key = f"{id(spark)}:{sf_dir}:{positions}"
     if key not in _INDEX_CACHE:
         idx = InvertedIndex.build(
-            transcripts_from_documents(spark, sf_dir), positions=False
+            transcripts_from_documents(spark, sf_dir), positions=positions
         )
         # serving handle: postings appear 2-3x per query plan (match set,
         # scoring, stats) — cache them at oracle/bench corpus scale
@@ -794,3 +796,109 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("knn_cosine_lsh", _q_knn_lsh, None)
+
+
+# -- phrase / co-occurrence / collaborative filtering ------------------------
+
+
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.query.phrase import search_phrase
+
+    idx = _index_for(spark, sf_dir, positions=True)
+    out = search_phrase(idx, "the fast", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_phrase",
+    _q_phrase,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM d
+  WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% the fast %'
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('fast', 'the') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ct.docint, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC, ct.docint DESC
+LIMIT 10
+""",
+)
+
+
+def _q_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherFeatures (MiruAggregateUtil.java:77-442): top counted
+    (role, tool) permutations over docs matching 'spark'."""
+    from miru_spark.operators.reco import cooccurrence_features
+
+    idx = _index_for(spark, sf_dir)
+    answer = (
+        idx.postings.where(F.col("term") == "spark").select("docint").distinct()
+    )
+    return cooccurrence_features(answer, idx.docs, ["role", "tool"], top_n=10)
+
+
+_register(
+    "cooc_features",
+    _q_cooc,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term = 'spark'),
+c AS (
+  SELECT role, tool, COUNT(*)::BIGINT AS n
+  FROM dl JOIN m USING (docint) GROUP BY 1, 2
+)
+SELECT role, tool, n,
+       ROW_NUMBER() OVER (ORDER BY n DESC, role ASC,
+                          tool ASC NULLS FIRST)::INT AS rank
+FROM c QUALIFY rank <= 10
+""",
+)
+
+
+def _q_collab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollaborativeFiltering.java:58-213 pipeline over events
+    (item = the numeric json prop)."""
+    from miru_spark.operators.reco import collaborative_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inter = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).where(F.col("item").isNotNull())
+    return collaborative_filter(inter, user_id=149, top_contributors=10, top_items=10)
+
+
+_register(
+    "collab_filter",
+    _q_collab,
+    """
+WITH inter AS (
+  SELECT user_id, (props->>'$.k')::INT AS item FROM events
+  WHERE (props->>'$.k') IS NOT NULL
+),
+mine AS (SELECT DISTINCT item FROM inter WHERE user_id = 149),
+contributors AS (
+  SELECT user_id, COUNT(*)::BIGINT AS weight
+  FROM inter
+  WHERE user_id != 149 AND item IN (SELECT item FROM mine)
+  GROUP BY 1 ORDER BY weight DESC, user_id ASC LIMIT 10
+),
+their AS (
+  SELECT DISTINCT i.user_id, i.item, c.weight
+  FROM inter i JOIN contributors c USING (user_id)
+  WHERE i.item NOT IN (SELECT item FROM mine)
+)
+SELECT item, SUM(weight)::BIGINT AS score
+FROM their GROUP BY 1
+ORDER BY score DESC, item ASC
+LIMIT 10
+""",
+)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from miru_spark.indexing.codec import varint_encode
 
 BLOCK_BITS = 13  # 8192-docint ranges
+SPAN_BITS = 20  # heavy-term salt granularity (2^20-docint partition spans)
 K1 = 1.2
 B = 0.75
 
@@ -136,19 +137,25 @@ def build_blocks(
 ) -> DataFrame:
     """flat postings ``(term, docint, tf, doclen)`` → block rows.
 
-    One shuffle: hash-repartition by term + in-partition sort, then a
-    streaming mapInPandas encoder (groups never split across partitions
-    because the partitioner keys on term alone; groups split across
-    *Arrow batches* are handled by a carry buffer — a group is ≤ 2^13
-    rows by construction, so the carry is bounded).
+    One shuffle: hash-repartition by (term, docint-span) + in-partition
+    sort, then a streaming mapInPandas encoder. The span key
+    (``docint >> SPAN_BITS``, with SPAN_BITS > BLOCK_BITS) is the
+    heavy-term salt the north rule calls for: a stopword term with 10^8
+    postings spreads across many partitions instead of hot-spotting one,
+    while every 2^13-range block still lands wholly inside one partition
+    (its rows share the coarser 2^20 span), so no group is ever split.
+    Groups split across *Arrow batches* are handled by a carry buffer —
+    a group is ≤ 2^13 rows by construction, so the carry is bounded.
     """
     cols = ["term", "docint", "tf", "doclen"]
-    rep = flat.select(*cols)
+    rep = flat.select(*cols).withColumn(
+        "_span", F.shiftright(F.col("docint"), SPAN_BITS)
+    )
     rep = (
-        rep.repartition(n_partitions, "term")
+        rep.repartition(n_partitions, "term", "_span")
         if n_partitions
-        else rep.repartition("term")
-    ).sortWithinPartitions("term", "docint")
+        else rep.repartition("term", "_span")
+    ).sortWithinPartitions("term", "docint").drop("_span")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         avg = avgdl

@@ -55,6 +55,92 @@ class SearchResult:
     df: DataFrame  # conv_id, turn_idx, docint, score — already top-k ordered
 
 
+def _fusable(node: Node) -> tuple[str, list] | None:
+    """Detect pure AND/OR of text Term/Prefix leaves → ('and'|'or', leaves).
+
+    These queries need no separate filter evaluation: ONE postings scan
+    + ONE groupBy computes both the match predicate (per-leaf presence
+    indicators) and the BM25 score — half the shuffles of the general
+    tree plan."""
+    from miru_spark.query.ast import And, Or
+
+    def text_leaves(children) -> list | None:
+        out = []
+        for c in children:
+            if isinstance(c, (Term, Prefix)) and c.field == "text":
+                out.append(c)
+            else:
+                return None
+        return out
+
+    if isinstance(node, (Term, Prefix)) and node.field == "text":
+        return ("and", [node])
+    if isinstance(node, And):
+        leaves = text_leaves(node.children)
+        if leaves:
+            return ("and", leaves)
+    if isinstance(node, Or):
+        leaves = text_leaves(node.children)
+        if leaves:
+            return ("or", leaves)
+    return None
+
+
+def _fused_search(
+    index: InvertedIndex, mode: str, leaves: list, k: int, ts_filter
+) -> DataFrame:
+    exact = sorted({l.value for l in leaves if isinstance(l, Term)})
+    prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
+    pred = None
+    if exact:
+        pred = F.col("term").isin(exact)
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pred = c if pred is None else (pred | c)
+
+    qterms = F.broadcast(
+        index.terms.where(pred).select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
+    )
+    hits = (
+        index.postings.where(pred)
+        .join(qterms, "term")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+    )
+    # per-leaf presence indicators + score in ONE aggregation
+    aggs = [F.sum("contrib").alias("score")]
+    leaf_cols = []
+    if exact:
+        aggs.append(F.count_distinct(F.when(F.col("term").isin(exact), F.col("term"))).alias("_ne"))
+    for i, p in enumerate(prefixes):
+        aggs.append(
+            F.max(F.when(F.col("term").startswith(p), 1).otherwise(0)).alias(f"_p{i}")
+        )
+        leaf_cols.append(f"_p{i}")
+    agg = hits.groupBy("docint").agg(*aggs)
+    if mode == "and":
+        need = (F.col("_ne") == len(exact)) if exact else F.lit(True)
+        for c in leaf_cols:
+            need = need & (F.col(c) == 1)
+        agg = agg.where(need)
+    if ts_filter is not None:
+        agg = agg.join(ts_filter, "docint", "left_semi")
+    return (
+        agg.orderBy(F.desc("score"), F.desc("docint"))
+        .limit(k)
+        .select("docint", "score")
+    )
+
+
 def search(
     index: InvertedIndex,
     query: str | Node,
@@ -72,6 +158,26 @@ def search(
     parquet/Iceberg min-max stats turn into partition pruning.
     """
     node = parse_query(query) if isinstance(query, str) else query
+
+    ts_filter = None
+    if ts_lo is not None or ts_hi is not None:
+        in_range = index.docs
+        if ts_lo is not None:
+            in_range = in_range.where(F.col("ts") >= F.lit(ts_lo))
+        if ts_hi is not None:
+            in_range = in_range.where(F.col("ts") <= F.lit(ts_hi))
+        ts_filter = in_range.select("docint")
+
+    meta0 = index.docs.select("docint", "conv_id", "turn_idx")
+    fused = _fusable(node) if strategy == "bm25" else None
+    if fused is not None:
+        topk = _fused_search(index, fused[0], fused[1], k, ts_filter)
+        return (
+            topk.join(meta0, "docint")
+            .orderBy(F.desc("score"), F.desc("docint"))
+            .select("conv_id", "turn_idx", "docint", "score")
+        )
+
     ev = FilterEvaluator(index)
     matched = ev.matching_docs(node)
 

@@ -1,0 +1,88 @@
+"""Phrase search over the positions-bearing postings table.
+
+The reference keeps per-doc term frequencies but not positions (its
+fulltext plugin is bag-of-terms); positions are this engine's extension
+enabled by the ``positions`` build flag (SURVEY.md §2.2 posting layout,
+FIXTURES.md §3). Semantics: a doc matches the phrase iff the terms
+appear consecutively in analyzed-token order — equivalent to a
+substring match on the space-joined token stream, which is exactly what
+the DuckDB oracle checks.
+
+Plan: n-1 equi-joins on docint between the phrase terms' postings,
+adjacency verified JVM-side with array_intersect over shifted position
+arrays (no Python). Scoring = standard BM25 over the phrase's terms for
+matching docs (phrase acts as the filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.bm25 import bm25_contrib, idf_col
+from miru_spark.tokenize import tokenize_py
+
+
+def phrase_match_docs(index: InvertedIndex, phrase: str) -> DataFrame:
+    """docints whose token stream contains the analyzed phrase."""
+    terms = tokenize_py(phrase)
+    if not terms:
+        raise ValueError("phrase analyzes to no terms")
+    if "positions" not in index.postings.columns:
+        raise ValueError("index built without positions; rebuild with positions=True")
+    df = (
+        index.postings.where(F.col("term") == terms[0])
+        .select("docint", F.col("positions").alias("_carry"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = index.postings.where(F.col("term") == t).select(
+            "docint", F.col("positions").alias(f"_p{i}")
+        )
+        df = (
+            df.join(nxt, "docint")
+            .withColumn(
+                "_carry",
+                F.array_intersect(
+                    F.transform("_carry", lambda x: x + 1), F.col(f"_p{i}")
+                ),
+            )
+            .where(F.size("_carry") > 0)
+            .drop(f"_p{i}")
+        )
+    return df.select("docint")
+
+
+def search_phrase(index: InvertedIndex, phrase: str, k: int = 10) -> DataFrame:
+    """Top-k BM25 over docs containing the exact phrase."""
+    terms = sorted(set(tokenize_py(phrase)))
+    matched = phrase_match_docs(index, phrase)
+    qterms = F.broadcast(
+        index.terms.where(F.col("term").isin(terms)).select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
+    )
+    contribs = (
+        index.postings.where(F.col("term").isin(terms))
+        .join(qterms, "term")
+        .join(matched, "docint", "left_semi")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+        .groupBy("docint")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    meta = index.docs.select("docint", "conv_id", "turn_idx")
+    return (
+        contribs.orderBy(F.desc("score"), F.desc("docint"))
+        .limit(k)
+        .join(meta, "docint")
+        .orderBy(F.desc("score"), F.desc("docint"))
+        .select("conv_id", "turn_idx", "docint", "score")
+    )

