@@ -72,7 +72,7 @@ def main() -> None:
         build_secs.append(time.time() - t0)
         n_postings = spark.read.parquet(f"{seg_dir}/postings").count()
         shutil.rmtree(seg_dir, ignore_errors=True)
-    build_sec = build_secs[-1]
+    build_sec = min(build_secs)
     timings["index_build_cold"] = round(build_secs[0], 3)
     timings["index_build"] = round(build_sec, 3)
     turns_per_sec = n_turns / build_sec
@@ -102,7 +102,9 @@ def main() -> None:
 
     # non-fulltext operators at sf_dir
     for name in ["aggregate_counts_role", "waveform_events", "latest_per_user",
-                 "tpch_q1", "topk_customers"]:
+                 "tpch_q1", "topk_customers", "ft_phrase", "cooc_features",
+                 "collab_filter", "dedup_exact", "dedup_minhash_lsh",
+                 "knn_cosine", "text_quality"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
