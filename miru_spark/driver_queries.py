@@ -798,6 +798,28 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("knn_cosine_lsh", _q_knn_lsh, None)
 
 
+def _q_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-index semantics: docs with docint % 17 == 0 soft-deleted;
+    masked out of the answer while BM25 stats stay pre-delete (the
+    reference masks answers, stats change only on rebuild)."""
+    idx = _index_for(spark, sf_dir)
+    tomb = idx.docs.where(F.col("docint") % 17 == 0).select("docint")
+    out = search(idx.with_tombstones(tomb), "spark OR join", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_removal",
+    _q_removal,
+    _bm25_sql(
+        "SELECT DISTINCT docint FROM post WHERE term IN ('join','spark') "
+        "AND docint % 17 != 0",
+        "p.term IN ('join','spark')",
+        10,
+    ),
+)
+
+
 # -- phrase / co-occurrence / collaborative filtering ------------------------
 
 

@@ -45,6 +45,16 @@ class InvertedIndex:
     avg_doclen: float
     _docs_cached: DataFrame | None = None
     blocks: DataFrame | None = None  # compressed block segments (blocks.py)
+    # soft-deleted docints, masked out of every answer (the reference's
+    # removal index, MiruRemovalIndex / MiruAggregateUtil.java:1140)
+    tombstones: DataFrame | None = None
+
+    def with_tombstones(self, tombstones: DataFrame) -> "InvertedIndex":
+        """Same index with a removal mask (docint column) applied to
+        every query. Non-destructive."""
+        import dataclasses
+
+        return dataclasses.replace(self, tombstones=tombstones)
 
     @classmethod
     def build(

@@ -134,6 +134,9 @@ def _fused_search(
         agg = agg.where(need)
     if ts_filter is not None:
         agg = agg.join(ts_filter, "docint", "left_semi")
+    if index.tombstones is not None:
+        # removal mask (reference MiruAggregateUtil.java:1140)
+        agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
     return (
         agg.orderBy(F.desc("score"), F.desc("docint"))
         .limit(k)
@@ -180,6 +183,10 @@ def search(
 
     ev = FilterEvaluator(index)
     matched = ev.matching_docs(node)
+    if index.tombstones is not None:
+        matched = matched.join(
+            index.tombstones.select("docint"), "docint", "left_anti"
+        )
 
     if ts_lo is not None or ts_hi is not None:
         # time-range mask as a semi-join against the (pruned) doc table
