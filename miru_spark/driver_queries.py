@@ -394,6 +394,91 @@ SELECT user_id, event_id, event_type FROM (
 )
 
 
+def _q_anomaly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly/metrics sums (reference Anomaly.sum, miru-anomaly-plugins/
+    .../Anomaly.java:102+ — Σ 2^bit·cardinality over valueBits planes):
+    Spark needs no bit-planes, a plain windowed SUM is the operator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("event_type", "bucket", "sum_value")
+    )
+
+
+_register(
+    "anomaly_sum",
+    _q_anomaly_sum,
+    """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms (reference trending/Distincts + waveform family):
+    terms whose recent-half count most exceeds their prior-half count
+    over the transcripts corpus; deterministic tie-break by term."""
+    idx = _index_for(spark, sf_dir)
+    # exact median; int() truncation matches the continuous-quantile
+    # comparison in the SQL twin (docint > x.5 ⇔ docint > floor(x.5))
+    mid = idx.docs.agg(F.expr("percentile(docint, 0.5)")).collect()[0][0]
+    joined = idx.postings.join(
+        idx.docs.select("docint"), "docint", "left_semi"
+    ).withColumn("recent", (F.col("docint") > F.lit(int(mid))).cast("int"))
+    return (
+        joined.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("recent") == 1, 1).otherwise(0)).alias("n_recent"),
+            F.sum(F.when(F.col("recent") == 0, 1).otherwise(0)).alias("n_prior"),
+        )
+        .withColumn(
+            "lift",
+            F.round((F.col("n_recent") + 1.0) / (F.col("n_prior") + 1.0), 4),
+        )
+        .orderBy(F.desc("lift"), F.asc("term"))
+        .limit(15)
+        .select("term", "n_recent", "n_prior", "lift")
+    )
+
+
+_register(
+    "trending_terms",
+    _q_trending,
+    f"""{SQL_PRELUDE},
+mid AS (SELECT floor(quantile_cont(docint, 0.5)) AS m FROM dl),
+c AS (
+  SELECT term,
+         SUM(CASE WHEN docint > (SELECT m FROM mid) THEN 1 ELSE 0 END)::BIGINT AS n_recent,
+         SUM(CASE WHEN docint <= (SELECT m FROM mid) THEN 1 ELSE 0 END)::BIGINT AS n_prior
+  FROM post GROUP BY 1
+)
+SELECT term, n_recent, n_prior,
+       ROUND((n_recent + 1.0) / (n_prior + 1.0), 4) AS lift
+FROM c
+ORDER BY lift DESC, term ASC
+LIMIT 15
+""",
+)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the scale path for DistinctCount;
+    approximate, so rows-only check (no SQL oracle can match the
+    sketch), with the exact twin next to it for the driver to compare
+    magnitudes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+_register("approx_distinct_users", _q_approx_distinct, None)
+
+
 # -- relational coverage (filters/aggs/joins over TPC-H-ish tables) ----------
 
 
