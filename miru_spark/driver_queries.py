@@ -280,6 +280,34 @@ FROM dl GROUP BY role
 )
 
 
+def _q_aggregate_counts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full AggregateCounts parity: the reference also gathers the
+    STORED FIELDS of each pivot's newest and oldest doc
+    (AggregateCounts.java:227-268 gatherActivityLookup) — max_by/min_by
+    is the one-shuffle Spark equivalent of the descending lastSetBit
+    walk."""
+    idx = _index_for(spark, sf_dir)
+    return idx.docs.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max_by("conv_id", "docint").alias("latest_conv"),
+        F.max_by("turn_idx", "docint").alias("latest_turn"),
+        F.min_by("conv_id", "docint").alias("oldest_conv"),
+    )
+
+
+_register(
+    "aggregate_counts_full",
+    _q_aggregate_counts_full,
+    f"""{SQL_PRELUDE}
+SELECT role, COUNT(*)::BIGINT AS n_docs,
+       arg_max(conv_id, docint) AS latest_conv,
+       arg_max(turn_idx, docint) AS latest_turn,
+       arg_min(conv_id, docint) AS oldest_conv
+FROM dl GROUP BY role
+""",
+)
+
+
 def _q_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distincts enumeration with prefix constraint
     (reference Distincts.gather, miru-reco-plugins/.../Distincts.java:41-159)."""
