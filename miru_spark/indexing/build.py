@@ -54,11 +54,17 @@ def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
     its own groupBy. ``positions`` (token offsets) power phrase queries;
     skip them for a leaner index.
     """
-    toks = tokens_col("text")
-    exploded = base.select(
+    # struct-wrap the token array so Catalyst materializes it once:
+    # referencing the raw expression from both size() and posexplode()
+    # re-evaluates the regex per consumer (verified in the physical
+    # plan), while the struct field is computed a single time.
+    wrapped = base.select(
+        "docint", F.struct(tokens_col("text").alias("t")).alias("_s")
+    )
+    exploded = wrapped.select(
         "docint",
-        F.size(toks).alias("doclen"),
-        F.posexplode(toks).alias("pos", "term"),
+        F.size("_s.t").alias("doclen"),
+        F.posexplode("_s.t").alias("pos", "term"),
     )
     aggs = [
         F.count(F.lit(1)).cast("int").alias("tf"),

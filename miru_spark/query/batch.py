@@ -1,0 +1,144 @@
+"""Batch query serving: N queries through ONE postings scan.
+
+At serving scale the per-query cost floor is Spark job overhead, not
+data. The reference amortizes differently (long-lived per-partition
+readers + replica racing, ``MiruLowestLatencySolver``); the Spark-native
+equivalent is batching: all queries' term predicates union into one
+postings scan, scores group by (query_id, docint), and a window takes
+each query's top-k — one shuffle + one window for the whole batch.
+
+Supports the fused query class (AND/OR of text terms/prefixes — the
+shape of the reference query set); anything else falls back to the
+single-query engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.ast import Prefix, Term
+from miru_spark.query.bm25 import _fusable, bm25_contrib, idf_col, search
+from miru_spark.query.parser import parse_query
+
+
+def search_batch(
+    index: InvertedIndex, queries: list[tuple[str, str, int]]
+) -> DataFrame:
+    """``[(query_id, query_string, k)]`` → rows
+    (query_id, conv_id, turn_idx, docint, score, rank).
+
+    Results per query are identical to :func:`search` (rank = 1..k in
+    (score desc, docint desc) order).
+    """
+    spark = index.postings.sparkSession
+    fused_rows = []  # (qid, leaf_id, kind, value, mode, n_leaves, k)
+    fallback: list[tuple[str, str, int]] = []
+    for qid, qs, k in queries:
+        node = parse_query(qs)
+        f = _fusable(node)
+        if f is None:
+            fallback.append((qid, qs, k))
+            continue
+        mode, leaves = f
+        # dedupe leaves (same AND semantics as the single-query path)
+        seen = sorted({(isinstance(l, Prefix), l.value) for l in leaves})
+        for i, (is_pref, val) in enumerate(seen):
+            fused_rows.append(
+                (qid, i, "prefix" if is_pref else "term", val, mode, len(seen), k)
+            )
+
+    parts: list[DataFrame] = []
+    if fused_rows:
+        leaves_df = spark.createDataFrame(
+            fused_rows,
+            "qid string, leaf_id int, kind string, value string, "
+            "mode string, n_leaves int, k int",
+        )
+        # resolve leaves → concrete terms (prefix expansion via the
+        # term-stats table, exact via equi-join)
+        exact = leaves_df.where(F.col("kind") == "term").withColumnRenamed(
+            "value", "term"
+        )
+        pref = leaves_df.where(F.col("kind") == "prefix")
+        terms_tbl = index.terms.select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
+        resolved = exact.join(terms_tbl, "term", "inner")
+        if any(r[2] == "prefix" for r in fused_rows):
+            expanded = pref.join(
+                terms_tbl,
+                terms_tbl["term"].startswith(pref["value"]),
+                "inner",
+            ).drop("value")
+            resolved = resolved.unionByName(expanded)
+        resolved = F.broadcast(
+            resolved.select(
+                "qid", "leaf_id", "term", "idf", "mode", "n_leaves", "k"
+            )
+        )
+        hits = (
+            index.postings.join(resolved, "term")
+            .withColumn(
+                "contrib",
+                bm25_contrib(
+                    F.col("tf").cast("double"),
+                    F.col("idf"),
+                    F.col("doclen").cast("double"),
+                    index.avg_doclen,
+                ),
+            )
+        )
+        scored = (
+            hits.groupBy("qid", "docint")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count_distinct("leaf_id").alias("_nl"),
+                F.first("mode").alias("_mode"),
+                F.first("n_leaves").alias("_need"),
+                F.first("k").alias("_k"),
+            )
+            .where((F.col("_mode") == "or") | (F.col("_nl") == F.col("_need")))
+        )
+        if index.tombstones is not None:
+            scored = scored.join(
+                index.tombstones.select("docint"), "docint", "left_anti"
+            )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docint"))
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("_k"))
+            .select("qid", "docint", "score", "rank")
+        )
+        parts.append(topk)
+
+    for qid, qs, k in fallback:
+        one = search(index, qs, k=k).select(
+            F.lit(qid).alias("qid"),
+            "docint",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.desc("docint")))
+            .alias("rank"),
+        )
+        parts.append(one)
+
+    if not parts:
+        raise ValueError("no queries")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    meta = index.docs.select("docint", "conv_id", "turn_idx")
+    return (
+        out.join(meta, "docint")
+        .select(
+            F.col("qid").alias("query_id"),
+            "conv_id",
+            "turn_idx",
+            "docint",
+            "score",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

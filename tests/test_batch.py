@@ -1,0 +1,51 @@
+"""Batch serving must be result-identical to per-query search."""
+
+import time
+
+import numpy as np
+import pytest
+
+from miru_spark.index import InvertedIndex
+from miru_spark.query.batch import search_batch
+from miru_spark.query.bm25 import search
+
+QUERIES = [
+    ("q1", "w00001 AND w00004", 10),
+    ("q2", "w00003 OR w09999", 10),
+    ("q3", "w0001*", 5),
+    ("q4", "w00002 w00005 w00010", 10),
+    ("q5", "w00001 AND NOT w00002", 7),  # non-fusable → fallback path
+    ("q6", "w00000", 3),
+]
+
+
+@pytest.fixture(scope="module")
+def built(small_turns):
+    idx = InvertedIndex.build(small_turns)
+    idx.postings = idx.postings.cache()
+    idx.postings.count()
+    yield idx
+    idx.unpersist()
+
+
+def test_batch_matches_individual(built):
+    batch = search_batch(built, QUERIES).toPandas()
+    for qid, qs, k in QUERIES:
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        exp = search(built, qs, k=k).toPandas()
+        assert list(got["docint"]) == list(exp["docint"]), qid
+        assert np.allclose(got["score"], exp["score"], atol=1e-9), qid
+        assert list(got["rank"]) == list(range(1, len(exp) + 1)), qid
+
+
+def test_batch_amortizes(built):
+    """One batch job should beat N sequential jobs (sanity, generous)."""
+    fused = [q for q in QUERIES if "NOT" not in q[1]]
+    t0 = time.time()
+    search_batch(built, fused).collect()
+    batch_sec = time.time() - t0
+    t0 = time.time()
+    for _, qs, k in fused:
+        search(built, qs, k=k).collect()
+    seq_sec = time.time() - t0
+    assert batch_sec < seq_sec * 1.5  # generous: sandbox noise
