@@ -395,6 +395,37 @@ SELECT user_id, event_id, event_type FROM (
 )
 
 
+def _q_paired_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairedLatest: 'latest' maintained per composite (a,b) term
+    (reference MiruIndexPairedLatest.java; schema wiring
+    MiruSchema.java:408-421) — newest event per (user_id, event_type)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+_register(
+    "paired_latest",
+    _q_paired_latest,
+    """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+
+
 def _q_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'First' index semantics (setIfEmpty — reference
     MiruIndexPrimaryFields.java:123-129): oldest event per user."""

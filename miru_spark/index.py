@@ -163,7 +163,9 @@ class InvertedIndex:
             F.sum("tf").cast("int").alias("doclen")
         )
         (
-            base.select("docint", "conv_id", "turn_idx", "role", "tool", "ts")
+            base.select(
+                "docint", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+            )
             .join(doclens, "docint", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             .write.mode("overwrite")

@@ -132,7 +132,11 @@ def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
 
 
 def doc_stats(base: DataFrame) -> DataFrame:
-    """Per-doc row store the scorer joins back to: docint → doclen + keys."""
+    """Per-doc row store: docint → stored fields + doclen.
+
+    ``text`` rides along — the reference's activity index stores field
+    values for late lookup by docId (MiruActivityIndex.java:16-45;
+    gatherActivityLookup), which powers snippets/highlighting here."""
     return base.select(
         "docint",
         "conv_id",
@@ -140,6 +144,7 @@ def doc_stats(base: DataFrame) -> DataFrame:
         "role",
         "tool",
         "ts",
+        "text",
         F.size(tokens_col("text")).alias("doclen"),
     )
 

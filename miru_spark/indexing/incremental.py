@@ -165,7 +165,9 @@ class SegmentStore:
         flat.write.mode("overwrite").parquet(f"{out}/postings")
         written = self.spark.read.parquet(f"{out}/postings")
         (
-            base.select("docint", "conv_id", "turn_idx", "role", "tool", "ts")
+            base.select(
+                "docint", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+            )
             .join(
                 written.groupBy("docint").agg(
                     F.sum("tf").cast("int").alias("doclen")
