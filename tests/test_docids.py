@@ -24,6 +24,20 @@ def test_docint_parallelism_invariant(spark, tiny_turns):
     assert b.exceptAll(a).count() == 0
 
 
+def test_generator_parallelism_invariant(spark):
+    """The synthetic corpus is a pure function of (conv, turn, seed) —
+    identical content at any partitioning (the property the two-level
+    scaling bench depends on)."""
+    from miru_spark.transcripts import generate_transcripts
+
+    a = generate_transcripts(spark, n_convs=50, max_turns=8, seed=9)
+    b = generate_transcripts(
+        spark.range(0).sparkSession, n_convs=50, max_turns=8, seed=9
+    ).repartition(7)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_ts_monotonic_in_prime_order(spark, tiny_turns):
     pdf = (
         with_docint(tiny_turns).select("docint", "ts").orderBy("docint").toPandas()
