@@ -107,8 +107,10 @@ def _index_for(
             transcripts_from_documents(spark, sf_dir), positions=positions
         )
         # serving handle: postings appear 2-3x per query plan (match set,
-        # scoring, stats) — cache them at oracle/bench corpus scale
+        # scoring, stats) — cache them at oracle/bench corpus scale;
+        # terms feed the per-query broadcast, cache those too
         idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 

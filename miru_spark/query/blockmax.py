@@ -129,7 +129,12 @@ def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
 def search_blocks_or(
     index, terms: list[str], k: int = 10, probe_blocks: int = 16
 ) -> DataFrame:
-    """Disjunctive BM25 top-k with block-max WAND pruning."""
+    """Disjunctive BM25 top-k with block-max WAND pruning.
+
+    Adaptive: when the candidate block set is already small (≤ 8x the
+    probe budget) the two-phase floor probe costs more than it saves —
+    score everything in one pass instead. The pruning engages exactly
+    where it matters: terms with large posting counts."""
     terms = sorted(set(terms))
     qb = _qblocks(index, terms).withColumn("ub", F.col("idf") * F.col("max_tfc"))
     ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum"))
@@ -137,6 +142,11 @@ def search_blocks_or(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_or_group(pdf, avgdl)
+
+    n_cand = ubs.count()
+    if n_cand <= probe_blocks * 8:
+        scored = qb.groupBy("block_id").applyInPandas(run, schema=SCORED_SCHEMA)
+        return _topk(scored, k)
 
     # phase 1: exact-score the P most-promising blocks → floor
     probe_ids = ubs.orderBy(F.desc("ub_sum")).limit(probe_blocks)
