@@ -525,6 +525,82 @@ LIMIT 15
 )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30min gaps
+    (lag + cumulative-flag — the standard Spark idiom; streaming twin
+    would be session_window)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz =
+    # UTC) for the epoch-seconds cast, matching DuckDB's naive epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0).cast("int"),
+    ).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .select("user_id", "session_id", "n_events", "t_start", "t_end")
+    )
+
+
+_register(
+    "sessionize_events",
+    _q_sessionize,
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM sess GROUP BY 1, 2
+""",
+)
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (cube/rollup coverage): event counts at
+    (type, day), (type), and grand-total levels."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select("event_type", "day", "n", "v")
+    )
+
+
+_register(
+    "rollup_events",
+    _q_rollup,
+    """
+SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(value), 2) AS v
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE)::VARCHAR)
+""",
+)
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — the scale path for DistinctCount;
     approximate, so rows-only check (no SQL oracle can match the
