@@ -213,6 +213,25 @@ class InvertedIndex:
             blocks=blocks,
         )
 
+    def register_views(self, prefix: str = "miru") -> list[str]:
+        """Expose the index as temp views for the SQL API: users can
+        `spark.sql` over `<prefix>_postings`, `<prefix>_docs`,
+        `<prefix>_terms` (+ `<prefix>_blocks` when built) — Catalyst
+        produces the same plans either way."""
+        names = []
+        for name, df in [
+            ("postings", self.postings),
+            ("docs", self.docs),
+            ("terms", self.terms),
+            ("blocks", self.blocks),
+        ]:
+            if df is None:
+                continue
+            vname = f"{prefix}_{name}"
+            df.createOrReplaceTempView(vname)
+            names.append(vname)
+        return names
+
     def unpersist(self) -> None:
         for df in (self.postings, self.docs, self.terms, self._docs_cached):
             if df is None:
