@@ -40,7 +40,7 @@ B = 0.75
 
 BLOCKS_SCHEMA = (
     "term string, block_id long, first_doc long, last_doc long, "
-    "n_docs int, max_tf int, max_tfc double, "
+    "n_docs int, max_tf int, min_dl int, max_tfc double, "
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
@@ -69,6 +69,7 @@ def encode_group_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
                 "last_doc",
                 "n_docs",
                 "max_tf",
+                "min_dl",
                 "max_tfc",
                 "docs_bin",
                 "tfs_bin",
@@ -86,9 +87,13 @@ def encode_group_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     starts = np.nonzero(new_group)[0]
     ends = np.concatenate((starts[1:], [len(pdf)]))
 
-    # per-group aggregates
+    # per-group aggregates. max_tfc is the exact block max of the BM25
+    # tf-component at THIS build's avgdl; (max_tf, min_dl) give a bound
+    # valid under any LATER avgdl (tfc is ↑ in tf, ↓ in dl), which is
+    # what incremental stores must prune with after the corpus grows.
     n_docs = (ends - starts).astype(np.int32)
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    min_dl = np.minimum.reduceat(dls, starts).astype(np.int32)
     tfc = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
     max_tfc = np.maximum.reduceat(tfc, starts)
     first_doc = docs[starts]
@@ -122,6 +127,7 @@ def encode_group_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             "last_doc": last_doc,
             "n_docs": n_docs,
             "max_tf": max_tf,
+            "min_dl": min_dl,
             "max_tfc": max_tfc,
             "docs_bin": docs_bin,
             "tfs_bin": tfs_bin,

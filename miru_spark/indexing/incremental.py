@@ -54,6 +54,16 @@ from miru_spark.indexing.build import postings_flat, term_stats
 SHARD_BITS = 40
 
 
+def _align_block(local_id: int) -> int:
+    """Round a writer cursor up to the next block boundary so a
+    (term, block_id) group never spans two segment units — the property
+    the block-max query path needs to treat block rows independently."""
+    from miru_spark.indexing.blocks import BLOCK_BITS
+
+    size = 1 << BLOCK_BITS
+    return ((local_id + size - 1) // size) * size
+
+
 def shard_col(n_shards: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_shards)).cast("int")
 
@@ -138,7 +148,7 @@ class SegmentStore:
                 shard_rows,
                 shard=s,
                 delta=(st["delta"] + 1) if st else 0,
-                base_local_id=st["next_id"] if st else 0,
+                base_local_id=_align_block(st["next_id"]) if st else 0,
             )
 
     def _unit_dir(self, shard: int, delta: int) -> str:
@@ -182,6 +192,8 @@ class SegmentStore:
         term_stats(written.select("term", "docint", "tf")).write.mode(
             "overwrite"
         ).parquet(f"{out}/terms")
+        if self.blocks:
+            self._write_blocks(out)
         docs = self.spark.read.parquet(f"{out}/docs")
         row = docs.agg(
             F.count(F.lit(1)).alias("n"),
@@ -212,6 +224,28 @@ class SegmentStore:
                 "build_ms": int((time.time() - t0) * 1000),
                 "files": files,
             }
+        )
+
+    def _write_blocks(self, unit_dir: str) -> None:
+        """Compressed block segments for one unit. Units start at
+        block-aligned docints (_align_block), so (term, block_id) never
+        spans units and the union of unit blocks is a valid block index.
+        Block metadata uses the unit's doclen profile; pruning bounds
+        stay valid under later corpus growth via (max_tf, min_dl) —
+        see blocks.py / blockmax._block_ub_tfc."""
+        from miru_spark.indexing.blocks import build_blocks
+
+        flat = self.spark.read.parquet(f"{unit_dir}/postings").select(
+            "term", "docint", "tf", "doclen"
+        )
+        row = (
+            self.spark.read.parquet(f"{unit_dir}/docs")
+            .agg(F.avg("doclen"))
+            .collect()[0]
+        )
+        avgdl = float(row[0] or 1.0)
+        build_blocks(flat, avgdl).write.mode("overwrite").parquet(
+            f"{unit_dir}/blocks"
         )
 
     # -- merge (compaction) ------------------------------------------------
@@ -253,6 +287,8 @@ class SegmentStore:
             shutil.rmtree(p)
         final = self._unit_dir(shard, st["delta"])
         os.rename(merged_tmp, final)
+        if self.blocks:
+            self._write_blocks(final)
         self._append_manifest({**st, "merged_from": units, "files": ["merged"]})
 
     # -- load --------------------------------------------------------------
@@ -292,4 +328,7 @@ class SegmentStore:
             e["sum_doclen"] for e in self.manifest() if "merged_from" not in e
         )
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
-        return InvertedIndex(post, docs, terms, n_docs, avgdl)
+        blocks = None
+        if all(os.path.isdir(os.path.join(u, "blocks")) for u in units):
+            blocks = self.spark.read.parquet(*[f"{u}/blocks" for u in units])
+        return InvertedIndex(post, docs, terms, n_docs, avgdl, blocks=blocks)

@@ -98,6 +98,22 @@ def _qblocks(index, terms: list[str]) -> DataFrame:
     return index.blocks.where(F.col("term").isin(terms)).join(qt, "term")
 
 
+def _block_ub_tfc(index) -> F.Column:
+    """Drift-proof block tf-component bound: tfc(max_tf, min_dl) at the
+    CURRENT corpus avgdl. Valid even when blocks were encoded under an
+    older avgdl (incremental stores): tfc is increasing in tf and
+    decreasing in dl, so the pair dominates every posting in the block."""
+    from miru_spark.indexing.blocks import B, K1
+
+    tf = F.col("max_tf").cast("double")
+    dl = F.col("min_dl").cast("double")
+    return (
+        tf
+        * F.lit(K1 + 1.0)
+        / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.lit(index.avg_doclen)))
+    )
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.desc("docint")).limit(k)
 
@@ -136,7 +152,7 @@ def search_blocks_or(
     score everything in one pass instead. The pruning engages exactly
     where it matters: terms with large posting counts."""
     terms = sorted(set(terms))
-    qb = _qblocks(index, terms).withColumn("ub", F.col("idf") * F.col("max_tfc"))
+    qb = _qblocks(index, terms).withColumn("ub", F.col("idf") * _block_ub_tfc(index))
     ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum"))
     avgdl = index.avg_doclen
 

@@ -63,6 +63,39 @@ def test_build_is_idempotent(spark, tiny_turns, tmp_path):
     assert len(store.manifest()) == n
 
 
+def test_sharded_blocks_rank_identical(spark, tiny_turns, tiny_pdf, tmp_path):
+    """Block segments across shard+delta units: unit boundaries are
+    block-aligned, drift-proof (max_tf, min_dl) bounds — block paths
+    must match the flat engine on the combined store."""
+    from miru_spark.query.blockmax import search_blocks_and, search_blocks_or
+
+    store = SegmentStore(spark, str(tmp_path / "segb"), n_shards=2, blocks=True)
+    store.build(tiny_turns.where("conv_id < 'conv00000050'"))
+    store.append(tiny_turns)  # delta units under a grown corpus
+    idx = store.load()
+    assert idx.blocks is not None
+    for terms, mode in [
+        (["w00001", "w00004"], "and"),
+        (["w00003", "w09999"], "or"),
+        (["w00000"], "or"),
+    ]:
+        if mode == "and":
+            got = search_blocks_and(idx, terms, k=10).toPandas()
+            exp = search(idx, " AND ".join(terms), k=10).toPandas()
+        else:
+            got = search_blocks_or(idx, terms, k=10, probe_blocks=1).toPandas()
+            exp = search(idx, " OR ".join(terms), k=10).toPandas()
+        assert list(got["docint"]) == list(exp["docint"]), terms
+    # merge rebuilds blocks; still identical
+    for s in range(2):
+        store.merge_shard(s)
+    idx2 = store.load()
+    assert idx2.blocks is not None
+    got = search_blocks_and(idx2, ["w00001", "w00004"], k=10).toPandas()
+    exp = search(idx2, "w00001 AND w00004", k=10).toPandas()
+    assert list(got["docint"]) == list(exp["docint"])
+
+
 def test_append_and_merge(spark, tiny_turns, tiny_pdf, tmp_path):
     half1 = tiny_turns.where("conv_id < 'conv00000050'")
     half2 = tiny_turns.where("conv_id >= 'conv00000050'")

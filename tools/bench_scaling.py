@@ -38,6 +38,20 @@ wi = InvertedIndex.build_persisted(warm, wd, positions=False)
 search(wi, "w00001 AND w00002", k=5).collect()
 warm.unpersist(); shutil.rmtree(wd, ignore_errors=True)
 
+# fixed-cost floor: the same 5-job build on a near-empty corpus — pure
+# scheduling/commit latency, independent of data volume
+tiny = generate_transcripts(spark, n_convs=200, max_turns=24, seed=11).persist()
+tiny.count()
+floor = None
+for _ in range(2):
+    fd = tempfile.mkdtemp()
+    t0 = time.time()
+    InvertedIndex.build_persisted(tiny, fd, positions=False)
+    dt = time.time() - t0
+    floor = dt if floor is None else min(floor, dt)
+    shutil.rmtree(fd, ignore_errors=True)
+tiny.unpersist()
+
 turns = generate_transcripts(spark, n_convs=n_convs, max_turns=24, seed=42).persist()
 n = turns.count()
 best = None
@@ -53,6 +67,7 @@ for _ in range(2):
     q_sec = time.time() - qt0
     shutil.rmtree(seg, ignore_errors=True)
 print(json.dumps({{"cores": cores, "turns": n, "build_sec": round(best, 3),
+                   "floor_sec": round(floor, 3),
                    "turns_per_sec": round(n / best, 1),
                    "query3_sec": round(q_sec, 3)}}))
 spark.stop()
@@ -78,25 +93,43 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=300_000)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="interleaved repetitions per level; per-level "
+                    "best-of is reported (this sandbox shows ±40%% "
+                    "slowdown-only noise between JVMs)")
     ap.add_argument("--out", default="BENCH")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_convs = max(args.turns // 12, 1)
 
-    small = run_level(repo, args.small, n_convs)
-    print(json.dumps(small))
-    big = run_level(repo, args.big, n_convs)
-    print(json.dumps(big))
+    def best(a: dict, b: dict) -> dict:
+        return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
+
+    small = big = None
+    for _ in range(args.reps):
+        s = run_level(repo, args.small, n_convs)
+        print(json.dumps(s))
+        small = s if small is None else best(small, s)
+        b = run_level(repo, args.big, n_convs)
+        print(json.dumps(b))
+        big = b if big is None else best(big, b)
 
     ratio = big["turns_per_sec"] / small["turns_per_sec"]
     factor = args.big / args.small
     eff = ratio / factor
+    # Amdahl-adjusted: subtract each level's measured fixed floor (pure
+    # job scheduling/commit latency from a near-empty build) — the
+    # serial constant a real cluster also pays once, not per data unit
+    adj_small = max(small["build_sec"] - small["floor_sec"], 0.001)
+    adj_big = max(big["build_sec"] - big["floor_sec"], 0.001)
+    adj_eff = (adj_small / adj_big) / factor
     result = {
         "small": small,
         "big": big,
         "speedup": round(ratio, 3),
         "core_factor": factor,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_adjusted": round(adj_eff, 3),
         "target": 0.8,
     }
     print(json.dumps(result))
