@@ -37,7 +37,11 @@ def main() -> None:
     spark = get_spark("miru_build", master=args.master)
     turns = spark.read.parquet(args.input)
     store = SegmentStore(
-        spark, args.output, n_shards=args.shards, positions=args.positions
+        spark,
+        args.output,
+        n_shards=args.shards,
+        positions=args.positions,
+        blocks=args.blocks,
     )
     t0 = time.time()
     if args.append:

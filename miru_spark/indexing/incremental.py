@@ -129,23 +129,48 @@ class SegmentStore:
 
     def append(self, new_turns: DataFrame) -> None:
         """Sip-style incremental append: index only rows beyond each
-        shard's watermark, as a new delta segment per touched shard."""
+        shard's watermark, as a new delta segment per touched shard.
+
+        The per-shard watermark predicate is applied via ONE broadcast
+        join against the (tiny, driver-side) manifest state, and a single
+        ``groupBy(_shard).count()`` job decides which shards have fresh
+        rows — an empty append costs one Spark job total, not one
+        ``limit(1).count()`` probe per shard."""
         state = self.shard_state()
         with_shard = new_turns.withColumn("_shard", shard_col(self.n_shards))
-        for s in range(self.n_shards):
-            st = state.get(s)
-            shard_rows = with_shard.where(F.col("_shard") == s).drop("_shard")
-            if st is not None:
-                wc, wt = st["watermark_conv"], st["watermark_turn"]
-                if wc is not None:
-                    shard_rows = shard_rows.where(
-                        (F.col("conv_id") > wc)
-                        | ((F.col("conv_id") == wc) & (F.col("turn_idx") > wt))
+        wm_rows = [
+            (s, st["watermark_conv"], st["watermark_turn"])
+            for s, st in state.items()
+            if st["watermark_conv"] is not None
+        ]
+        fresh = with_shard
+        if wm_rows:
+            wm = F.broadcast(
+                self.spark.createDataFrame(
+                    wm_rows, "_shard int, _wc string, _wt int"
+                )
+            )
+            fresh = (
+                with_shard.join(wm, "_shard", "left")
+                .where(
+                    F.col("_wc").isNull()
+                    | (F.col("conv_id") > F.col("_wc"))
+                    | (
+                        (F.col("conv_id") == F.col("_wc"))
+                        & (F.col("turn_idx") > F.col("_wt"))
                     )
-            if shard_rows.limit(1).count() == 0:
-                continue
+                )
+                .drop("_wc", "_wt")
+            )
+        touched = sorted(
+            r["_shard"]
+            for r in fresh.groupBy("_shard").count().collect()
+            if r["count"] > 0
+        )
+        for s in touched:
+            st = state.get(s)
             self._build_unit(
-                shard_rows,
+                fresh.where(F.col("_shard") == s).drop("_shard"),
                 shard=s,
                 delta=(st["delta"] + 1) if st else 0,
                 base_local_id=_align_block(st["next_id"]) if st else 0,
@@ -251,21 +276,43 @@ class SegmentStore:
     # -- merge (compaction) ------------------------------------------------
 
     def merge_shard(self, shard: int) -> None:
-        """Compact all of a shard's segments into one (delta→chunk merge,
-        reference MiruPartitionAccessor.merge:362-387). Idempotent: the
-        merged unit replaces the shard's lineage under delta index =
-        latest (so future appends continue from the same watermark)."""
+        """Compact all of a shard's live segments into one (delta→chunk
+        merge, reference MiruPartitionAccessor.merge:362-387).
+
+        Crash-atomic: the merged unit is fully written (blocks included)
+        under ``_merged_tmp``, COMMITTED by a single ``os.rename`` to
+        ``merged_{delta:04d}``, and only then are the source units
+        deleted. ``live_units`` prefers the newest merged unit over any
+        stale sources at or below its index, so a crash in any window
+        leaves a loadable store; re-running the merge finishes cleanup.
+        Future appends continue from the same watermark (the manifest's
+        delta index is unchanged by a merge)."""
+        import shutil
+
         state = self.shard_state()
         st = state.get(shard)
-        if st is None or st["delta"] == 0:
+        if st is None:
+            return
+        sdir = os.path.join(self.path, f"shard={shard}")
+        units = self._live_shard_units(shard)
+        merged_name = f"merged_{st['delta']:04d}"
+        merged_final = os.path.join(sdir, merged_name)
+        if os.path.isdir(merged_final):
+            # merge already committed (possibly by a crashed run): clear
+            # everything the live-unit rule supersedes and return.
+            live = set(self._live_shard_units(shard))
+            for n in os.listdir(sdir):
+                stale = (
+                    n.startswith(("delta_", "merged_")) and n not in live
+                ) or n == "_merged_tmp"
+                if stale:
+                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            return
+        if len(units) <= 1:
             return  # nothing to merge
-        units = sorted(
-            d
-            for d in os.listdir(os.path.join(self.path, f"shard={shard}"))
-            if d.startswith("delta_")
-        )
-        paths = [os.path.join(self.path, f"shard={shard}", d) for d in units]
-        merged_tmp = os.path.join(self.path, f"shard={shard}", "_merged_tmp")
+        paths = [os.path.join(sdir, n) for n in units]
+        merged_tmp = os.path.join(sdir, "_merged_tmp")
+        shutil.rmtree(merged_tmp, ignore_errors=True)
         post = self.spark.read.parquet(*[f"{p}/postings" for p in paths])
         (
             post.repartition(max(1, post.rdd.getNumPartitions() // len(paths)))
@@ -281,28 +328,46 @@ class SegmentStore:
                 "term", "docint", "tf"
             )
         ).write.mode("overwrite").parquet(f"{merged_tmp}/terms")
-        import shutil
-
-        for p in paths:
-            shutil.rmtree(p)
-        final = self._unit_dir(shard, st["delta"])
-        os.rename(merged_tmp, final)
         if self.blocks:
-            self._write_blocks(final)
+            self._write_blocks(merged_tmp)
+        os.rename(merged_tmp, merged_final)  # commit point
         self._append_manifest({**st, "merged_from": units, "files": ["merged"]})
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
 
     # -- load --------------------------------------------------------------
+
+    @staticmethod
+    def _unit_index(name: str) -> int:
+        return int(name.rsplit("_", 1)[1])
+
+    def _live_shard_units(self, shard: int) -> list[str]:
+        """Unit dir NAMES for one shard. The newest ``merged_*`` unit
+        supersedes every unit at or below its index (they are its merge
+        sources — possibly stale leftovers of a crashed cleanup)."""
+        sdir = os.path.join(self.path, f"shard={shard}")
+        if not os.path.isdir(sdir):
+            return []
+        names = [
+            d for d in os.listdir(sdir) if d.startswith(("delta_", "merged_"))
+        ]
+        merged = [n for n in names if n.startswith("merged_")]
+        if merged:
+            top = max(merged, key=self._unit_index)
+            top_i = self._unit_index(top)
+            names = [top] + [
+                n
+                for n in names
+                if n.startswith("delta_") and self._unit_index(n) > top_i
+            ]
+        return sorted(names, key=self._unit_index)
 
     def live_units(self) -> list[str]:
         out = []
         for s in range(self.n_shards):
             sdir = os.path.join(self.path, f"shard={s}")
-            if not os.path.isdir(sdir):
-                continue
             out.extend(
-                os.path.join(sdir, d)
-                for d in sorted(os.listdir(sdir))
-                if d.startswith("delta_")
+                os.path.join(sdir, n) for n in self._live_shard_units(s)
             )
         return out
 

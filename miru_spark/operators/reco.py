@@ -27,13 +27,24 @@ def cooccurrence_features(
     feature_cols: list[str],
     top_n: int = 10,
 ) -> DataFrame:
-    """Top-N counted feature-value permutations over the answer set."""
+    """Top-N counted feature-value permutations over the answer set.
+
+    The reference caps per-feature results with a heap
+    (``MiruAggregateUtil.java:105-108``); the Spark equivalent is
+    TakeOrderedAndProject (orderBy + limit — per-partition k-heaps merged
+    on the driver), NOT a global row_number window: an unpartitioned
+    window funnels every (permutation, count) row through one partition,
+    which is unbounded for high-cardinality features. Rank is then
+    assigned over the already-limited top_n rows (constant partition key
+    keeps the WindowExec spec non-empty — degenerate by construction,
+    over ≤ top_n rows)."""
+    order = [F.desc("n")] + [F.asc(c) for c in feature_cols]
     joined = docs.join(answer_docs, "docint", "left_semi")
     counts = joined.groupBy(*feature_cols).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), *[F.asc(c) for c in feature_cols])
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .select(*feature_cols, "n", "rank")
     )
 

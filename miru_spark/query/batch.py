@@ -73,21 +73,29 @@ def search_batch(
                 "inner",
             ).drop("value")
             resolved = resolved.unionByName(expanded)
+        # a term matched by SEVERAL leaves of one query (e.g. exact
+        # 'w00001' plus overlapping prefix 'w0000*') must contribute its
+        # BM25 weight exactly ONCE — the per-leaf rows exist only for the
+        # count_distinct(leaf_id) AND-presence check. Mark one scoring
+        # row per (qid, term); the window runs over the tiny driver-built
+        # leaf table, before the postings join.
+        wlr = Window.partitionBy("qid", "term").orderBy("leaf_id")
         resolved = F.broadcast(
-            resolved.select(
-                "qid", "leaf_id", "term", "idf", "mode", "n_leaves", "k"
+            resolved.withColumn("_lr", F.row_number().over(wlr)).select(
+                "qid", "leaf_id", "term", "idf", "mode", "n_leaves", "k", "_lr"
             )
         )
         hits = (
             index.postings.join(resolved, "term")
             .withColumn(
                 "contrib",
-                bm25_contrib(
-                    F.col("tf").cast("double"),
-                    F.col("idf"),
-                    F.col("doclen").cast("double"),
-                    index.avg_doclen,
-                ),
+                F.when(F.col("_lr") == 1,
+                       bm25_contrib(
+                           F.col("tf").cast("double"),
+                           F.col("idf"),
+                           F.col("doclen").cast("double"),
+                           index.avg_doclen,
+                       )).otherwise(F.lit(0.0)),
             )
         )
         scored = (
@@ -114,12 +122,20 @@ def search_batch(
         parts.append(topk)
 
     for qid, qs, k in fallback:
+        # ranking k already-limited rows: partition by a constant so the
+        # WindowExec has a (degenerate) partition spec — same single
+        # partition over k rows, but no "No Partition Defined" global
+        # window in the plan
         one = search(index, qs, k=k).select(
             F.lit(qid).alias("qid"),
             "docint",
             "score",
             F.row_number()
-            .over(Window.orderBy(F.desc("score"), F.desc("docint")))
+            .over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("score"), F.desc("docint")
+                )
+            )
             .alias("rank"),
         )
         parts.append(one)

@@ -114,6 +114,16 @@ def _block_ub_tfc(index) -> F.Column:
     )
 
 
+def _mask_tombstones(index, scored: DataFrame) -> DataFrame:
+    """Removal mask (reference MiruRemovalIndex semantics): soft-deleted
+    docs are masked out of EVERY serving path, including the block ones.
+    Applied before any floor/top-k so WAND's pruning floor can never be
+    set by a deleted doc."""
+    if index.tombstones is None:
+        return scored
+    return scored.join(index.tombstones.select("docint"), "docint", "left_anti")
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.desc("docint")).limit(k)
 
@@ -139,7 +149,7 @@ def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _topk(scored, k)
+    return _topk(_mask_tombstones(index, scored), k)
 
 
 def search_blocks_or(
@@ -162,14 +172,16 @@ def search_blocks_or(
     n_cand = ubs.count()
     if n_cand <= probe_blocks * 8:
         scored = qb.groupBy("block_id").applyInPandas(run, schema=SCORED_SCHEMA)
-        return _topk(scored, k)
+        return _topk(_mask_tombstones(index, scored), k)
 
     # phase 1: exact-score the P most-promising blocks → floor
+    # (masked FIRST: a tombstoned doc must not set the pruning floor)
     probe_ids = ubs.orderBy(F.desc("ub_sum")).limit(probe_blocks)
-    probe_scored = (
+    probe_scored = _mask_tombstones(
+        index,
         qb.join(F.broadcast(probe_ids.select("block_id")), "block_id", "left_semi")
         .groupBy("block_id")
-        .applyInPandas(run, schema=SCORED_SCHEMA)
+        .applyInPandas(run, schema=SCORED_SCHEMA),
     )
     top_probe = _topk(probe_scored, k).collect()
     floor = top_probe[k - 1]["score"] if len(top_probe) >= k else float("-inf")
@@ -181,4 +193,4 @@ def search_blocks_or(
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _topk(scored, k)
+    return _topk(_mask_tombstones(index, scored), k)

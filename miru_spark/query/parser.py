@@ -86,6 +86,12 @@ class _Parser:
         if t in ("NOT", "-"):
             self.next()
             return Not(self.parse_unary())
+        if t.startswith("-") and len(t) > 1:
+            # Lucene MUST_NOT sugar: '-term' == NOT term. The lexer emits
+            # '-term' as one word token, so strip the dash here instead of
+            # silently matching the positive term.
+            self.toks[self.i] = t[1:]
+            return Not(self.parse_atom())
         return self.parse_atom()
 
     def parse_atom(self) -> Node:

@@ -50,7 +50,11 @@ def phrase_match_docs(index: InvertedIndex, phrase: str) -> DataFrame:
             .where(F.size("_carry") > 0)
             .drop(f"_p{i}")
         )
-    return df.select("docint")
+    out = df.select("docint")
+    if index.tombstones is not None:
+        # removal mask applies to every serving path (MiruRemovalIndex)
+        out = out.join(index.tombstones.select("docint"), "docint", "left_anti")
+    return out
 
 
 def search_phrase(index: InvertedIndex, phrase: str, k: int = 10) -> DataFrame:

@@ -49,3 +49,19 @@ def test_batch_amortizes(built):
         search(built, qs, k=k).collect()
     seq_sec = time.time() - t0
     assert batch_sec < seq_sec * 1.5  # generous: sandbox noise
+
+
+def test_overlapping_leaves_score_once(built):
+    """A term matched by several leaves of one query (exact 'w00001' AND
+    an overlapping prefix 'w0000*') must contribute once — batch results
+    stay identical to the fused single-query path."""
+    overlap = [
+        ("o1", "w00001 OR w0000*", 10),
+        ("o2", "w00001 AND w0000*", 10),
+    ]
+    batch = search_batch(built, overlap).toPandas()
+    for qid, qs, k in overlap:
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        exp = search(built, qs, k=k).toPandas()
+        assert list(got["docint"]) == list(exp["docint"]), qid
+        assert np.allclose(got["score"], exp["score"], atol=1e-9), qid

@@ -118,3 +118,28 @@ def test_append_and_merge(spark, tiny_turns, tiny_pdf, tmp_path):
     assert idx2.n_docs == len(tiny_pdf)
     _assert_matches_oracle(idx2, tiny_pdf, "w00001 AND w00004")
     _assert_matches_oracle(idx2, tiny_pdf, "w00003 OR w09999")
+
+
+def test_merge_is_crash_atomic(spark, tiny_turns, tiny_pdf, tmp_path):
+    """A merged unit commits via one rename BEFORE sources are deleted;
+    stale sources (crash between rename and cleanup) are superseded by
+    the live-unit rule and swept by a re-run."""
+    import os
+
+    half1 = tiny_turns.where("conv_id < 'conv00000050'")
+    store = _store(spark, tmp_path / "seg")
+    store.build(half1)
+    store.append(tiny_turns)
+    store.merge_shard(0)
+    sdir = str(tmp_path / "seg" / "shard=0")
+    names = sorted(os.listdir(sdir))
+    assert any(n.startswith("merged_") for n in names)
+    # simulate a crash that left a stale (already-merged) source behind
+    os.makedirs(os.path.join(sdir, "delta_0000"), exist_ok=True)
+    idx = store.load()  # stale dir superseded, not read
+    assert idx.n_docs == len(tiny_pdf)
+    _assert_matches_oracle(idx, tiny_pdf, "w00001 AND w00004")
+    store.merge_shard(0)  # idempotent re-run sweeps the stale dir
+    assert "delta_0000" not in os.listdir(sdir)
+    # appends after a merge continue the lineage
+    assert store.load().n_docs == len(tiny_pdf)

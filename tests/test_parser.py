@@ -61,3 +61,16 @@ def test_errors():
         parse_query("")
     with pytest.raises(QueryParseError):
         parse_query("(a OR b")
+
+
+def test_leading_dash_is_must_not():
+    # Lucene MUST_NOT sugar: '-term' negates (the lexer emits '-term' as
+    # one word token; it must NOT silently become a positive match)
+    assert parse_query("alpha -beta") == And((Term("alpha"), Not(Term("beta"))))
+    assert parse_query("-beta") == And((Not(Term("beta")),))
+    # standalone dash operator still works
+    assert parse_query("alpha - beta") == And((Term("alpha"), Not(Term("beta"))))
+    # analyzer still applies to the negated token
+    assert parse_query("alpha -Time-Out") == And(
+        (Term("alpha"), Not(And((Term("time"), Term("out")))))
+    )

@@ -61,3 +61,36 @@ def test_apply_repairs_tie_prefers_repair(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     rows = apply_repairs(turns, repairs).collect()
     assert len(rows) == 1 and rows[0]["text"] == "repaired"
+
+
+def test_removal_masks_block_and_phrase_paths(spark, small_turns, tmp_path):
+    """Tombstones are masked out of EVERY serving path — including block
+    segments (AND + WAND OR) and phrase search."""
+    from miru_spark.query.blockmax import search_blocks_and, search_blocks_or
+    from miru_spark.query.phrase import search_phrase
+
+    idx = InvertedIndex.build_persisted(
+        small_turns, str(tmp_path / "seg"), positions=True, blocks=True
+    )
+    base_and = search_blocks_and(idx, ["w00001", "w00004"], k=20).toPandas()
+    victim = int(base_and.iloc[0]["docint"])
+    tomb = spark.createDataFrame([(victim,)], "docint long")
+    masked = idx.with_tombstones(tomb)
+
+    m_and = search_blocks_and(masked, ["w00001", "w00004"], k=20).toPandas()
+    assert victim not in set(m_and["docint"])
+    base_or = search_blocks_or(idx, ["w00001", "w00004"], k=20, probe_blocks=1)
+    m_or = search_blocks_or(masked, ["w00001", "w00004"], k=20, probe_blocks=1)
+    assert victim in set(base_or.toPandas()["docint"])
+    assert victim not in set(m_or.toPandas()["docint"])
+    # block path still rank-identical to the flat engine under the mask
+    exp = search(masked, "w00001 AND w00004", k=20).toPandas()
+    assert list(m_and["docint"]) == list(exp["docint"])
+
+    # phrase path: tombstone a doc matching the phrase
+    ph = search_phrase(idx, "w00000 w00000", k=20).toPandas()
+    if len(ph):
+        pv = int(ph.iloc[0]["docint"])
+        ptomb = spark.createDataFrame([(pv,)], "docint long")
+        mp = search_phrase(idx.with_tombstones(ptomb), "w00000 w00000", k=20).toPandas()
+        assert pv not in set(mp["docint"])
