@@ -18,7 +18,10 @@ reproduces values to rounding (cosines rounded to 4dp on both sides).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +105,253 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return (u.reshape(n_bits, dim) * 2.0 - 1.0)
 
 
+def _all_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) — one independent hyperplane set per table."""
+    return np.stack(
+        [_hyperplanes(dim, n_bits, seed + 7919 * t) for t in range(n_tables)]
+    )
+
+
+def lsh_bucket_assignments(
+    emb: DataFrame,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket) — the build-time LSH index relation.
+
+    One Arrow-batched numpy matmul per batch assigns every vector its
+    bucket in all L tables at once (no per-row Python, no per-table
+    column churn). This is the persisted half of the ANN path: written
+    once at index-build time, probed by (table, bucket) key at query
+    time — query cost scales with probed-bucket size, not corpus size.
+    """
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        pow2 = 1 << np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            if planes is None:
+                planes = _all_planes(V.shape[1], n_bits, n_tables, seed)
+            # (T, n): bucket id per table
+            proj = np.einsum("tbd,nd->tnb", planes, V) >= 0
+            buckets = (proj * pow2).sum(axis=2)  # (T, n)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema="vec_id long, table int, bucket long"
+    )
+
+
+def cosine_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_tables: int = 24,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH candidate generation — the
+    scale path that replaces :func:`cosine_dup_pairs`' all-pairs
+    crossJoin (the O(n²) anti-pattern).
+
+    Shape mirrors ``dedup.minhash_lsh_pairs``: candidates are pairs that
+    share a (table, bucket) cell — an equi-join, sub-quadratic when the
+    buckets are selective — then EXACT cosine verifies each candidate,
+    so output pairs carry exact (4dp-rounded) scores and there are no
+    false positives. Recall is the only approximation; the defaults
+    (b=4, L=24) give recall 1.0 against the exact pair set on the test
+    corpora at threshold 0.4 (asserted in pytest AND by the driver
+    oracle, which is the exact-pair SQL). At higher corpus scale raise
+    ``n_bits`` ~log₂(n/target_bucket_size) to keep buckets bounded, and
+    raise ``n_tables`` to hold recall; a higher ``threshold`` needs far
+    fewer tables (collision prob per bit grows with cosine).
+    """
+    assign = lsh_bucket_assignments(
+        emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+class LshIndex:
+    """Build-time-persisted multi-table sign-LSH ANN index.
+
+    The index IS the ``(vec_id, table, bucket)`` relation from
+    :func:`lsh_bucket_assignments` plus the hash-family parameters.
+    Built ONCE over the corpus; a query computes its own bucket keys
+    driver-side in numpy (no Spark job, no corpus re-hash) and probes
+    the stored relation by literal (table, bucket) predicates — with
+    ``save()``'s table-partitioned, bucket-sorted layout those prune to
+    the probed files/row-groups, so query cost is proportional to the
+    probed buckets, not the corpus.
+
+    Exact cosine runs only inside the probed candidate set, so returned
+    scores are exact; approximation lives purely in candidate selection.
+    Recall for neighbors at angle θ is ``1 - (1 - p(θ)^b)^L`` (boosted
+    by Hamming-1 multiprobe); tables multiply recall where one wide
+    code would collapse it.
+    """
+
+    def __init__(
+        self,
+        assignments: DataFrame,
+        dim: int,
+        n_bits: int,
+        n_tables: int,
+        seed: int,
+    ):
+        self.assignments = assignments
+        self.dim = dim
+        self.n_bits = n_bits
+        self.n_tables = n_tables
+        self.seed = seed
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        n_bits: int = 6,
+        n_tables: int = 8,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "LshIndex":
+        dim = len(emb.select(vec_col).first()[0])
+        assign = lsh_bucket_assignments(
+            emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        return cls(assign, dim, n_bits, n_tables, seed)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        (
+            self.assignments.repartition("table")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("table")
+            .parquet(f"{path}/assignments")
+        )
+        meta = {
+            "dim": self.dim,
+            "n_bits": self.n_bits,
+            "n_tables": self.n_tables,
+            "seed": self.seed,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark.read.parquet(f"{path}/assignments"),
+            int(meta["dim"]), int(meta["n_bits"]),
+            int(meta["n_tables"]), int(meta["seed"]),
+        )
+
+    def _query_probes(
+        self, qvec: np.ndarray, multiprobe: bool
+    ) -> list[tuple[int, list[int]]]:
+        """Driver-side (numpy) bucket keys for a query vector."""
+        planes = _all_planes(self.dim, self.n_bits, self.n_tables, self.seed)
+        pow2 = 1 << np.arange(self.n_bits, dtype=np.int64)
+        out = []
+        for t in range(self.n_tables):
+            qb = int((((planes[t] @ qvec) >= 0) * pow2).sum())
+            probes = [qb] + (
+                [qb ^ (1 << i) for i in range(self.n_bits)] if multiprobe else []
+            )
+            out.append((t, probes))
+        return out
+
+    def topk(
+        self,
+        emb: DataFrame,
+        query_id: int,
+        k: int = 10,
+        multiprobe: bool = True,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        qvec = np.array(
+            emb.where(F.col(id_col) == query_id).select(vec_col).first()[0],
+            dtype=np.float64,
+        )
+        pred = None
+        for t, probes in self._query_probes(qvec, multiprobe):
+            c = (F.col("table") == t) & F.col("bucket").isin(probes)
+            pred = c if pred is None else (pred | c)
+        cand = self.assignments.where(pred).select("vec_id").distinct()
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        return (
+            emb.join(
+                cand.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
+            )
+            .where(F.col(id_col) != query_id)
+            .select(
+                F.col(id_col),
+                F.round(
+                    _dot(F.col(vec_col), qlit)
+                    / (_norm(F.col(vec_col)) * _norm(qlit)),
+                    4,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_id: int,
@@ -112,61 +362,20 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: LshIndex | None = None,
 ) -> DataFrame:
-    """ANN top-k via multi-table sign-LSH.
+    """ANN top-k via multi-table sign-LSH (convenience wrapper).
 
-    L independent tables of b hyperplane bits each; a vector is a
-    candidate if ANY table maps it to the query's bucket (± Hamming-1
-    buckets when ``multiprobe``). Exact cosine is computed only inside
-    the probed set, so returned scores are exact — approximation lives
-    purely in candidate selection. Recall for neighbors at angle θ is
-    ``1 - (1 - p(θ)^b·probe_boost)^L`` — tables multiply recall where a
-    single wide code would collapse it.
+    Pass a prebuilt ``index`` to amortize the build across queries —
+    the production shape. Without one, the index relation is computed
+    inline (one corpus pass), which is only sensible for one-off use.
     """
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
-
-    def bucket_col(vec, planes):
-        bits = [
-            F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i, p in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    tables = []
-    for t in range(n_tables):
-        H = _hyperplanes(dim, n_bits, seed + 7919 * t)
-        tables.append([F.array(*[F.lit(float(v)) for v in row]) for row in H])
-
-    df = emb
-    for t, planes in enumerate(tables):
-        df = df.withColumn(f"_b{t}", bucket_col(F.col(vec_col), planes))
-
-    qrow = df.where(F.col(id_col) == query_id).first()
-    qvec = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
-    pred = None
-    for t in range(n_tables):
-        qb = qrow[f"_b{t}"]
-        probes = [qb] + (
-            [qb ^ (1 << i) for i in range(n_bits)] if multiprobe else []
+    if index is None:
+        index = LshIndex.build(
+            emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
         )
-        c = F.col(f"_b{t}").isin(probes)
-        pred = c if pred is None else (pred | c)
-
-    return (
-        df.where(pred)
-        .where(F.col(id_col) != query_id)
-        .select(
-            F.col(id_col),
-            F.round(
-                _dot(F.col(vec_col), qvec)
-                / (_norm(F.col(vec_col)) * _norm(qvec)),
-                4,
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
+    return index.topk(
+        emb, query_id, k=k, multiprobe=multiprobe,
+        id_col=id_col, vec_col=vec_col,
     )
