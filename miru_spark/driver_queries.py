@@ -44,7 +44,7 @@ d AS (
   ) o USING (conv_id)
 ),
 dl AS (
-  SELECT docint, conv_id, turn_idx, role, tool, ts,
+  SELECT docint, conv_id, turn_idx, role, tool, ts, authz,
          len({_TOK})::INT AS doclen
   FROM d
 ),
@@ -206,6 +206,128 @@ FROM (SELECT DISTINCT docint FROM post WHERE term = 'spark') p
 JOIN dl ON dl.docint = p.docint
 ORDER BY p.docint DESC
 LIMIT 10
+""",
+)
+
+
+_register(
+    "ft_bm25_range",
+    _ft("spark AND turn_idx:[1 TO 2]", k=10),
+    _bm25_sql(
+        "SELECT p.docint FROM post p JOIN dl ON dl.docint = p.docint "
+        "WHERE p.term = 'spark' AND dl.turn_idx BETWEEN 1 AND 2",
+        "p.term = 'spark'",
+        10,
+    ),
+)
+
+_register(
+    "ft_bm25_authz",
+    _ft("batch AND authz:g3,g5", k=10),
+    _bm25_sql(
+        "SELECT p.docint FROM post p JOIN dl ON dl.docint = p.docint "
+        "WHERE p.term = 'batch' AND (list_contains(dl.authz, 'g3') "
+        "OR list_contains(dl.authz, 'g5'))",
+        "p.term = 'batch'",
+        10,
+    ),
+)
+
+
+def _q_tsrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range mask (reference MiruBitmaps.buildTimeRangeMask,
+    miru-plugin/.../bitmap/MiruBitmaps.java:141): BM25 top-k restricted
+    to a ts window — a BETWEEN semi-join the oracle mirrors exactly."""
+    idx = _index_for(spark, sf_dir)
+    out = search(
+        idx,
+        "spark OR merge",
+        k=10,
+        ts_lo="2024-01-01 01:00:00",
+        ts_hi="2024-01-01 06:00:00",
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_tsrange",
+    _q_tsrange,
+    _bm25_sql(
+        "SELECT DISTINCT p.docint FROM post p JOIN dl ON dl.docint = p.docint "
+        "WHERE p.term IN ('merge','spark') AND dl.ts BETWEEN "
+        "TIMESTAMP '2024-01-01 01:00:00' AND TIMESTAMP '2024-01-01 06:00:00'",
+        "p.term IN ('merge','spark')",
+        10,
+    ),
+)
+
+
+# incremental-store serving handle: build → append → merge → load once
+# per corpus (the north rule's resumability path exercised end-to-end)
+_INCR_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _incremental_index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark, tempfile.mkdtemp(prefix="miru_incr_"), n_shards=2
+        )
+        # resumable lifecycle: base build on the first convs, sip-append
+        # the full stream (watermarks skip what's indexed), compact
+        store.build(turns.where(F.col("conv_id") < "conv00000050"))
+        store.append(turns)
+        for s in range(store.n_shards):
+            store.merge_shard(s)
+        idx = store.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    return _INCR_CACHE[key]
+
+
+def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the sharded resumable SegmentStore (build → append →
+    merge → load). Watermark semantics make the merged store's corpus
+    identical to a full build, so the oracle is the plain full-corpus
+    SQL; docint is omitted from the output because the sharded id space
+    (shard<<40 | local) is intentionally different from the oracle's
+    global dense ids — (conv_id, turn_idx, score) is id-space-neutral.
+    The top-10 set is unique at this corpus (no score ties at the
+    boundary), so set-hash equality is exact."""
+    idx = _incremental_index_for(spark, sf_dir)
+    out = search(idx, "spark AND join", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_register(
+    "ft_bm25_incremental",
+    _q_incremental,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('join','spark')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('join','spark') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
 """,
 )
 

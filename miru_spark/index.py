@@ -163,9 +163,7 @@ class InvertedIndex:
             F.sum("tf").cast("int").alias("doclen")
         )
         (
-            base.select(
-                "docint", "conv_id", "turn_idx", "role", "tool", "ts", "text"
-            )
+            base  # all metadata columns flow into the row store
             .join(doclens, "docint", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             .write.mode("overwrite")

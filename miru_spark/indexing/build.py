@@ -136,16 +136,13 @@ def doc_stats(base: DataFrame) -> DataFrame:
 
     ``text`` rides along — the reference's activity index stores field
     values for late lookup by docId (MiruActivityIndex.java:16-45;
-    gatherActivityLookup), which powers snippets/highlighting here."""
+    gatherActivityLookup), which powers snippets/highlighting here.
+    ALL input metadata columns are kept (schema-driven, like the
+    reference's field definitions): extensions such as ``authz`` flow
+    into the row store without build changes."""
+    extra = [c for c in base.columns if c != "docint"]
     return base.select(
-        "docint",
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        "ts",
-        "text",
-        F.size(tokens_col("text")).alias("doclen"),
+        "docint", *extra, F.size(tokens_col("text")).alias("doclen")
     )
 
 

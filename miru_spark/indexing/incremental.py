@@ -200,9 +200,7 @@ class SegmentStore:
         flat.write.mode("overwrite").parquet(f"{out}/postings")
         written = self.spark.read.parquet(f"{out}/postings")
         (
-            base.select(
-                "docint", "conv_id", "turn_idx", "role", "tool", "ts", "text"
-            )
+            base  # all metadata columns flow into the row store
             .join(
                 written.groupBy("docint").agg(
                     F.sum("tf").cast("int").alias("doclen")

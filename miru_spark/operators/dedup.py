@@ -80,17 +80,26 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with Jaccard(k-shingles) ≥ t.
 
     ``max_df`` drops shingles shared by more than that many docs before
-    the pair join (the stop-shingle cap that keeps the join sub-
-    quadratic on skewed corpora); verification Jaccard still uses the
-    full shingle sets, so the score is exact for surviving pairs.
+    the pair join — the stop-shingle cap that keeps the join
+    sub-quadratic on skewed corpora (one viral boilerplate shingle with
+    df=d otherwise contributes d² candidate rows). ON BY DEFAULT:
+    ``"auto"`` = max(64, 0.5% of the corpus), so no real near-dup pair
+    (which shares many RARE shingles) is affected, while a hot shingle
+    can never quadratic-blow the join. Verification Jaccard still uses
+    the full shingle sets, so scores are exact for surviving pairs; the
+    only pairs a cap can lose are docs whose ONLY shared shingles are
+    all viral — by construction low-Jaccard unless the docs are shorter
+    than k+cap tokens. ``None`` disables the cap (oracle twin).
     """
     sh = shingles(docs, k, id_col, text_col).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df == "auto":
+        max_df = max(64, -(-docs.count() // 200))
     join_sh = sh
     if max_df is not None:
         common = (

@@ -29,6 +29,34 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Range:
+    """Typed metadata range — the engine's answer to the reference's
+    numeric-lex term ranges (``MiruTermComposer.java:35-119`` encodes
+    numbers as lex-ordered bytes and scans ``prefixLowerInclusive`` →
+    ``prefixUpperExclusive``, ``MiruFieldDefinition.java:139-198``).
+    Spark keeps metadata in TYPED columns, so a range is a plain
+    comparison predicate that parquet min/max stats can prune; no term
+    encoding needed. ``lo``/``hi`` are raw strings (None = unbounded),
+    cast by the evaluator per the field's type."""
+
+    field: str
+    lo: str | None = None
+    hi: str | None = None
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+
+@dataclass(frozen=True)
+class AuthzAny:
+    """Authz predicate: doc's ``authz`` array must intersect the query's
+    allowed values (reference ``MiruAuthzExpression`` — a list of authz
+    strings, composite OR; ``MiruAuthzUtils.java:24-33``)."""
+
+    values: tuple
+    field: str = "authz"
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple = field(default_factory=tuple)
 

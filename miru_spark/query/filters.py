@@ -22,7 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from miru_spark.index import InvertedIndex
-from miru_spark.query.ast import DEFAULT_FIELD, And, Node, Not, Or, Prefix, Term
+from miru_spark.query.ast import (
+    DEFAULT_FIELD,
+    And,
+    AuthzAny,
+    Node,
+    Not,
+    Or,
+    Prefix,
+    Range,
+    Term,
+)
 
 
 def _leaf_pred(leaf) -> Column:
@@ -37,9 +47,36 @@ def _is_text_leaf(n: Node) -> bool:
 
 def _meta_pred(leaf) -> Column:
     c = F.col(leaf.field)
+    if isinstance(leaf, AuthzAny):
+        # any-of over the doc's authz array (MiruAuthzUtils.java:24-33:
+        # composite OR of per-value bitmaps; here one arrays_overlap
+        # against the tiny literal array — JVM-side, no explode)
+        return F.arrays_overlap(c, F.array(*[F.lit(v) for v in leaf.values]))
+    if isinstance(leaf, Range):
+        lit = _range_lit(leaf.field)
+        pred = F.lit(True)
+        if leaf.lo is not None:
+            lo = lit(leaf.lo)
+            pred = pred & ((c >= lo) if leaf.lo_inc else (c > lo))
+        if leaf.hi is not None:
+            hi = lit(leaf.hi)
+            pred = pred & ((c <= hi) if leaf.hi_inc else (c < hi))
+        return pred
     if isinstance(leaf, Term):
         return c == leaf.value
     return c.startswith(leaf.value)
+
+
+def _range_lit(field: str):
+    """Typed literal builder per range field: ranges compare in the
+    COLUMN's type (int for turn_idx, timestamp for ts) so parquet
+    min/max stats stay usable — comparing a ts column to a string would
+    otherwise degrade to string casts row-by-row."""
+    if field == "turn_idx":
+        return lambda v: F.lit(int(v))
+    if field == "ts":
+        return lambda v: F.to_timestamp(F.lit(v))
+    return F.lit
 
 
 class FilterEvaluator:
@@ -57,7 +94,7 @@ class FilterEvaluator:
     def _eval(self, node: Node) -> DataFrame:
         if _is_text_leaf(node):
             return self._text_leaves_any([node])
-        if isinstance(node, (Term, Prefix)):
+        if isinstance(node, (Term, Prefix, Range, AuthzAny)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
             return self._or(node.children)

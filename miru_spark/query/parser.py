@@ -15,7 +15,17 @@ from __future__ import annotations
 
 import re
 
-from miru_spark.query.ast import DEFAULT_FIELD, And, Node, Not, Or, Prefix, Term
+from miru_spark.query.ast import (
+    DEFAULT_FIELD,
+    And,
+    AuthzAny,
+    Node,
+    Not,
+    Or,
+    Prefix,
+    Range,
+    Term,
+)
 from miru_spark.tokenize import tokenize_py
 
 _TOKEN_RE = re.compile(
@@ -28,6 +38,10 @@ _TOKEN_RE = re.compile(
 )
 
 METADATA_FIELDS = {"role", "tool", "conv_id"}
+# fields supporting [lo TO hi] / {lo TO hi} / >x >=x <x <=x range syntax
+# (typed columns — see ast.Range for the reference numeric-term analog)
+RANGE_FIELDS = {"turn_idx", "ts", "conv_id"}
+AUTHZ_FIELD = "authz"
 
 
 class QueryParseError(ValueError):
@@ -109,8 +123,18 @@ class _Parser:
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")
-            if f in METADATA_FIELDS:
+            if f in METADATA_FIELDS or f in RANGE_FIELDS or f == AUTHZ_FIELD:
                 field, t = f, rest
+        if field == AUTHZ_FIELD:
+            # MiruAuthzExpression: comma-separated any-of values
+            vals = tuple(v for v in t.split(",") if v)
+            if not vals:
+                raise QueryParseError("authz: needs at least one value")
+            return AuthzAny(vals)
+        if field in RANGE_FIELDS:
+            rng = self._maybe_range(field, t)
+            if rng is not None:
+                return rng
         is_prefix = t.endswith("*") and len(t) > 1
         if is_prefix:
             t = t[:-1]
@@ -125,6 +149,40 @@ class _Parser:
                 leaves = [Term(p) for p in parts]
             return leaves[0] if len(leaves) == 1 else And(tuple(leaves))
         return Prefix(t, field) if is_prefix else Term(t, field)
+
+    def _maybe_range(self, field: str, t: str) -> Range | None:
+        """``[lo TO hi]`` / ``{lo TO hi}`` bracket ranges (the value may
+        span lexer tokens — timestamps contain spaces) and the
+        ``>v >=v <v <=v`` comparison sugar. Returns None for a plain
+        exact value."""
+        if t.startswith(("[", "{")):
+            parts = [t]
+            while not parts[-1].endswith(("]", "}")):
+                nxt = self.peek()
+                if nxt is None:
+                    raise QueryParseError(f"unterminated range on {field}")
+                parts.append(self.next())
+            s = " ".join(parts)
+            lo_inc, hi_inc = s[0] == "[", s[-1] == "]"
+            body = s[1:-1]
+            if " TO " not in body:
+                raise QueryParseError(f"range needs 'TO': {s!r}")
+            lo, _, hi = body.partition(" TO ")
+            lo, hi = lo.strip(), hi.strip()
+            return Range(
+                field,
+                None if lo in ("", "*") else lo,
+                None if hi in ("", "*") else hi,
+                lo_inc,
+                hi_inc,
+            )
+        for op, kw in ((">=", dict(lo_inc=True)), (">", dict(lo_inc=False))):
+            if t.startswith(op) and len(t) > len(op):
+                return Range(field, lo=t[len(op):], hi=None, **kw)
+        for op, kw in (("<=", dict(hi_inc=True)), ("<", dict(hi_inc=False))):
+            if t.startswith(op) and len(t) > len(op):
+                return Range(field, lo=None, hi=t[len(op):], **kw)
+        return None
 
 
 def parse_query(q: str) -> Node:

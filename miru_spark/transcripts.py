@@ -185,7 +185,8 @@ SELECT 'conv' || lpad((doc_id // {TURNS_PER_CONV})::VARCHAR, 8, '0') AS conv_id,
                        ELSE 'tool' END AS role,
        text,
        CASE WHEN doc_id % 5 = 2 THEN source ELSE NULL END AS tool,
-       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts,
+       ['g' || (doc_id % 7)::VARCHAR, 'g' || ((doc_id // 7) % 7)::VARCHAR] AS authz
 FROM documents
 """
 
@@ -216,4 +217,14 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
             + F.make_interval(mins=F.col("doc_id").cast("int"))
         ).alias("ts"),
+        # per-doc authz groups (reference: per-activity authz String[],
+        # MiruActivity authz + MiruAuthzExpression query side) — two
+        # deterministic group labels so the DuckDB twin reproduces them
+        F.array(
+            F.concat(F.lit("g"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(
+                F.lit("g"),
+                ((F.col("doc_id") / 7).cast("long") % 7).cast("string"),
+            ),
+        ).alias("authz"),
     )

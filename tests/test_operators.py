@@ -150,3 +150,49 @@ def test_lsh_index_save_load_roundtrip(spark, embeddings, tmp_path):
     exact = [r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()]
     overlap = len(set(exact) & {v for v, _ in r2}) / 10
     assert overlap >= 0.5
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """Skew fixture: one viral shingle shared by EVERY doc. The default
+    df cap keeps the candidate join sub-quadratic and must not change
+    the result set (true near-dups share many rare shingles)."""
+    from miru_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    viral = "lorem ipsum dolor"
+    rows = [
+        (i, f"{viral} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e")
+        for i in range(150)
+    ]
+    # one true near-dup pair sharing rare shingles
+    rows.append((900, f"{viral} alpha beta gamma delta epsilon zeta"))
+    rows.append((901, f"{viral} alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.4, max_df=10).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.4, max_df=None).collect()
+    }
+    assert (900, 901) in capped
+    assert capped == exact
+    # candidate join boundedness: with the cap, the viral shingle is out
+    # of the join, so candidates collapse from ~n^2/2 to the rare-shingle
+    # pairs only (same join formula the operator uses)
+    sh = shingles(df).cache()
+    hot = (
+        sh.groupBy("shingle").count().where("count > 10").select("shingle")
+    )
+    capped_sh = sh.join(hot, "shingle", "left_anti")
+    n_cand = (
+        capped_sh.alias("a")
+        .join(capped_sh.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 100  # uncapped would be ~152*151/2 ≈ 11k
+    df.unpersist()

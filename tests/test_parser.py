@@ -74,3 +74,26 @@ def test_leading_dash_is_must_not():
     assert parse_query("alpha -Time-Out") == And(
         (Term("alpha"), Not(And((Term("time"), Term("out")))))
     )
+
+
+def test_range_and_authz_syntax():
+    from miru_spark.query.ast import AuthzAny, Range
+
+    assert parse_query("turn_idx:[1 TO 5]") == Range("turn_idx", "1", "5")
+    assert parse_query("turn_idx:{1 TO 5}") == Range(
+        "turn_idx", "1", "5", lo_inc=False, hi_inc=False
+    )
+    assert parse_query("turn_idx:>=3") == Range("turn_idx", lo="3")
+    assert parse_query("turn_idx:<7") == Range("turn_idx", hi="7", hi_inc=False)
+    assert parse_query("ts:[* TO 2024-06-01]") == Range("ts", None, "2024-06-01")
+    # timestamp values span lexer tokens (contain spaces)
+    assert parse_query("ts:[2024-01-01 00:30:00 TO 2024-01-02 01:00:00]") == Range(
+        "ts", "2024-01-01 00:30:00", "2024-01-02 01:00:00"
+    )
+    assert parse_query("authz:g3,g5") == AuthzAny(("g3", "g5"))
+    q = parse_query("spark AND turn_idx:[1 TO 2]")
+    assert q == And((Term("spark"), Range("turn_idx", "1", "2")))
+    with pytest.raises(QueryParseError):
+        parse_query("turn_idx:[1 TO")
+    with pytest.raises(QueryParseError):
+        parse_query("authz:")
