@@ -104,10 +104,14 @@ def main() -> None:
     for name in ["aggregate_counts_role", "waveform_events", "latest_per_user",
                  "tpch_q1", "topk_customers", "ft_phrase", "cooc_features",
                  "collab_filter", "dedup_exact", "dedup_minhash_lsh",
-                 "knn_cosine", "text_quality"]:
+                 "knn_cosine", "text_quality", "ft_bm25_range",
+                 "ft_bm25_authz", "ft_bm25_tsrange", "strut_scored",
+                 "dedup_embedding_lsh", "knn_cosine_lsh"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    from miru_spark.io import resolve_format
 
     total = time.time() - t_all
     out = {
@@ -120,6 +124,9 @@ def main() -> None:
         "build_postings": n_postings,
         "turns_per_sec": round(turns_per_sec, 1),
         "cpus": cpus,
+        # segment format the writers resolved to (Iceberg when jars +
+        # catalog conf exist — this container has neither, so parquet)
+        "table_format": resolve_format(spark, "auto"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -28,14 +28,49 @@ def main() -> None:
     ap.add_argument("--blocks", action="store_true", help="also build block segments")
     ap.add_argument("--append", action="store_true", help="sip-append new rows only")
     ap.add_argument("--merge", action="store_true", help="compact deltas after append")
+    ap.add_argument(
+        "--format",
+        default="auto",
+        choices=["auto", "iceberg", "parquet"],
+        help="segment table format for --flat builds: auto detects the "
+        "Iceberg jars/catalog and falls back to parquet (miru_spark/io.py)",
+    )
+    ap.add_argument(
+        "--flat",
+        action="store_true",
+        help="single-segment build via InvertedIndex.build_persisted "
+        "(format-pluggable) instead of the sharded resumable store "
+        "(whose rename-commit units are filesystem-parquet; on Iceberg "
+        "the equivalent commit primitive is a snapshot transaction)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    from miru_spark.index import InvertedIndex
     from miru_spark.indexing.incremental import SegmentStore
+    from miru_spark.io import resolve_format
     from miru_spark.session import get_spark
 
     spark = get_spark("miru_build", master=args.master)
     turns = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.flat:
+        idx = InvertedIndex.build_persisted(
+            turns,
+            args.output,
+            positions=args.positions,
+            blocks=args.blocks,
+            table_format=args.format,
+        )
+        out = {
+            "n_docs": idx.n_docs,
+            "avg_doclen": round(idx.avg_doclen, 2),
+            "format": resolve_format(spark, args.format),
+            "elapsed_sec": round(time.time() - t0, 1),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
     store = SegmentStore(
         spark,
         args.output,
@@ -43,7 +78,6 @@ def main() -> None:
         positions=args.positions,
         blocks=args.blocks,
     )
-    t0 = time.time()
     if args.append:
         store.append(turns)
     else:
@@ -56,6 +90,7 @@ def main() -> None:
         "n_docs": idx.n_docs,
         "avg_doclen": round(idx.avg_doclen, 2),
         "units": len(store.live_units()),
+        "format": "parquet",
         "elapsed_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(out))

@@ -1206,6 +1206,47 @@ _register(
 )
 
 
+def _q_strut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strut/catwalk ML feature scoring (Strut.java:202-218,
+    Catwalk.java model build): model = per-term numerator/denominator
+    over the 'spark' answer set, strut-scores the 'join' candidates."""
+    from miru_spark.operators.strut import catwalk_model, strut_score
+
+    idx = _index_for(spark, sf_dir)
+    answer = idx.postings.where(F.col("term") == "spark").select("docint").distinct()
+    model = catwalk_model(idx, answer, min_numerator=3)
+    cands = idx.postings.where(F.col("term") == "join").select("docint").distinct()
+    return strut_score(idx, cands, model, k=10, round_dp=4)
+
+
+_register(
+    "strut_scored",
+    _q_strut,
+    f"""{SQL_PRELUDE},
+ans AS (SELECT DISTINCT docint FROM post WHERE term = 'spark'),
+num AS (
+  SELECT term, COUNT(*) AS numerator FROM post
+  WHERE docint IN (SELECT docint FROM ans)
+  GROUP BY 1 HAVING COUNT(*) >= 3
+),
+model AS (
+  SELECT n.term, LEAST(n.numerator::DOUBLE / s.df, 1.0) AS weight
+  FROM num n JOIN stats s USING (term)
+),
+cand AS (SELECT DISTINCT docint FROM post WHERE term = 'join'),
+scored AS (
+  SELECT p.docint, SUM(m.weight) AS score
+  FROM post p JOIN model m USING (term)
+  WHERE p.docint IN (SELECT docint FROM cand)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
+FROM scored sc JOIN dl USING (docint)
+ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
+""",
+)
+
+
 # -- phrase / co-occurrence / collaborative filtering ------------------------
 
 

@@ -77,35 +77,50 @@ class InvertedIndex:
         terms = term_stats(post)
         return cls(post, doc_tbl, terms, n, avgdl, _docs_cached=base if cache else None)
 
-    def save(self, path: str, n_buckets: int = 32) -> None:
+    def save(
+        self, path: str, n_buckets: int = 32, table_format: str = "auto"
+    ) -> None:
         """Persist as a segment directory.
 
         Postings are bucketed by term hash (``pmod(xxhash64(term), B)``)
         and sorted by (term, docint) within files — the moral equivalent
         of the reference's term-keyed LSM layout
         (``LabInvertedIndex.java:268-292``): a query for a term set
-        touches only the buckets those terms hash to, and parquet
-        row-group min/max stats on ``term`` prune within buckets.
+        touches only the buckets those terms hash to, and parquet/
+        Iceberg row-group min/max stats on ``term`` prune within
+        buckets. ``table_format``: "auto" (Iceberg when the jars +
+        catalog are configured, else parquet), or an explicit format —
+        see :mod:`miru_spark.io`.
         """
         from pyspark.sql import functions as F
 
-        (
+        from miru_spark.io import read_table, resolve_format, write_table
+
+        spark = self.postings.sparkSession
+        fmt = resolve_format(spark, table_format)
+        write_table(
             self.postings.withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
             .repartition("bucket")
-            .sortWithinPartitions("term", "docint")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
+            .sortWithinPartitions("term", "docint"),
+            f"{path}/postings",
+            partition_by=["bucket"],
+            fmt=fmt,
         )
-        self.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        write_table(self.docs, f"{path}/docs", fmt=fmt)
         # derive term stats from the segments just written: a columnar
         # (term, docint, tf) read beats re-running tokenize+explode
-        spark = self.postings.sparkSession
-        written = spark.read.parquet(f"{path}/postings").select("term", "docint", "tf")
-        term_stats(written).write.mode("overwrite").parquet(f"{path}/terms")
-        meta = {"n_docs": self.n_docs, "avg_doclen": self.avg_doclen}
+        written = read_table(spark, f"{path}/postings", fmt=fmt).select(
+            "term", "docint", "tf"
+        )
+        write_table(term_stats(written), f"{path}/terms", fmt=fmt)
+        meta = {
+            "n_docs": self.n_docs,
+            "avg_doclen": self.avg_doclen,
+            "format": fmt,
+        }
+        os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -118,6 +133,7 @@ class InvertedIndex:
         n_buckets: int = 32,
         tokenizer: str = "auto",
         blocks: bool = False,
+        table_format: str = "auto",
     ) -> "InvertedIndex":
         """The production build job: transcripts → persisted segments.
 
@@ -137,7 +153,10 @@ class InvertedIndex:
         """
         from pyspark.sql import functions as F
 
+        from miru_spark.io import read_table, resolve_format, write_table
+
         spark = turns.sparkSession
+        fmt = resolve_format(spark, table_format)
         base = base_with_docint(turns)
         if tokenizer == "auto":
             tokenizer = "pandas" if positions else "jvm"
@@ -146,66 +165,78 @@ class InvertedIndex:
             if tokenizer == "pandas"
             else postings_flat(base, positions=positions)
         )
-        (
+        write_table(
             flat.withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
             .repartition("bucket")
-            .sortWithinPartitions("term", "docint")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
+            .sortWithinPartitions("term", "docint"),
+            f"{path}/postings",
+            partition_by=["bucket"],
+            fmt=fmt,
         )
-        written = spark.read.parquet(f"{path}/postings").select(
+        written = read_table(spark, f"{path}/postings", fmt=fmt).select(
             "term", "docint", "tf"
         )
         doclens = written.groupBy("docint").agg(
             F.sum("tf").cast("int").alias("doclen")
         )
-        (
+        write_table(
             base  # all metadata columns flow into the row store
             .join(doclens, "docint", "left")
-            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
-            .write.mode("overwrite")
-            .parquet(f"{path}/docs")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0))),
+            f"{path}/docs",
+            fmt=fmt,
         )
-        term_stats(written).write.mode("overwrite").parquet(f"{path}/terms")
-        docs = spark.read.parquet(f"{path}/docs")
+        write_table(term_stats(written), f"{path}/terms", fmt=fmt)
+        docs = read_table(spark, f"{path}/docs", fmt=fmt)
         row = docs.agg(
             F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
         ).collect()[0]
-        meta = {"n_docs": int(row["n"]), "avg_doclen": float(row["avgdl"] or 0.0)}
+        meta = {
+            "n_docs": int(row["n"]),
+            "avg_doclen": float(row["avgdl"] or 0.0),
+            "format": fmt,
+        }
+        os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         if blocks:
             from miru_spark.indexing.blocks import build_blocks
 
-            flat_full = spark.read.parquet(f"{path}/postings").select(
+            flat_full = read_table(spark, f"{path}/postings", fmt=fmt).select(
                 "term", "docint", "tf", "doclen"
             )
-            (
-                build_blocks(flat_full, meta["avg_doclen"])
-                .withColumn(
+            write_table(
+                build_blocks(flat_full, meta["avg_doclen"]).withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-                )
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{path}/blocks")
+                ),
+                f"{path}/blocks",
+                partition_by=["bucket"],
+                fmt=fmt,
             )
         return cls.load(spark, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        from miru_spark.io import read_table
+
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        fmt = meta.get("format", "parquet")
         blocks = None
-        if os.path.isdir(os.path.join(path, "blocks")):
-            blocks = spark.read.parquet(f"{path}/blocks").drop("bucket")
+        if fmt == "iceberg" or os.path.isdir(os.path.join(path, "blocks")):
+            try:
+                blocks = read_table(spark, f"{path}/blocks", fmt=fmt).drop(
+                    "bucket"
+                )
+            except Exception:
+                blocks = None
         return cls(
-            spark.read.parquet(f"{path}/postings").drop("bucket"),
-            spark.read.parquet(f"{path}/docs"),
-            spark.read.parquet(f"{path}/terms"),
+            read_table(spark, f"{path}/postings", fmt=fmt).drop("bucket"),
+            read_table(spark, f"{path}/docs", fmt=fmt),
+            read_table(spark, f"{path}/terms", fmt=fmt),
             int(meta["n_docs"]),
             float(meta["avg_doclen"]),
             blocks=blocks,

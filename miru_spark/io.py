@@ -30,17 +30,41 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def resolve_format(spark: SparkSession, requested: str = "auto") -> str:
+    """'auto' → iceberg when the jar+catalog are present, else parquet.
+    Forcing 'iceberg' without the jars is a hard error (silent fallback
+    would mislead the operator about what the cluster wrote)."""
+    if requested == "parquet":
+        return "parquet"
+    ok = iceberg_available(spark)
+    if requested == "iceberg":
+        if not ok:  # pragma: no cover - no jars in sandbox
+            raise RuntimeError(
+                "Iceberg format requested but org.apache.iceberg jars or "
+                "the spark.sql.catalog.miru catalog conf are missing; "
+                "see miru_spark/io.py for the session conf"
+            )
+        return "iceberg"
+    if requested != "auto":
+        raise ValueError(f"unknown table format {requested!r}")
+    return "iceberg" if ok else "parquet"
+
+
 def write_table(
     df: DataFrame,
     target: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    fmt: str | None = None,
 ) -> str:
     """Write to `miru.<target>` (Iceberg) or `<target>` path (parquet).
 
-    Returns the format used ("iceberg" | "parquet")."""
+    ``fmt`` forces a format ("iceberg" | "parquet"); None auto-detects.
+    Returns the format used."""
     spark = df.sparkSession
-    if iceberg_available(spark):  # pragma: no cover - no jars in sandbox
+    if fmt is None:
+        fmt = resolve_format(spark, "auto")
+    if fmt == "iceberg":  # pragma: no cover - no jars in sandbox
         w = df.writeTo(f"miru.{target.replace('/', '_')}")
         if partition_by:
             from pyspark.sql import functions as F
@@ -55,7 +79,9 @@ def write_table(
     return "parquet"
 
 
-def read_table(spark: SparkSession, target: str) -> DataFrame:
-    if iceberg_available(spark):  # pragma: no cover
+def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> DataFrame:
+    if fmt is None:
+        fmt = resolve_format(spark, "auto")
+    if fmt == "iceberg":  # pragma: no cover
         return spark.read.table(f"miru.{target.replace('/', '_')}")
     return spark.read.parquet(target)

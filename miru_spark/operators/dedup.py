@@ -145,14 +145,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     n_hashes: int = 8,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, seed, minhash) — H seeded min-hashes over k-shingles."""
-    sh = shingles(docs, k, id_col, text_col)
+    """(id, seed, minhash) — H seeded min-hashes over k-shingles.
+
+    Pass a precomputed (cached) ``sh`` relation to share one shingle
+    scan between the signature and verification paths."""
+    if sh is None:
+        sh = shingles(docs, k, id_col, text_col)
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(n_hashes)])
     ).alias("seed")
@@ -181,7 +186,10 @@ def minhash_lsh_pairs(
     bands = H / band_size; a pair is a candidate iff it collides in at
     least one band (equal minhashes across the band's rows).
     """
-    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    # ONE cached shingle scan feeds both the signature path and the
+    # exact-Jaccard verify path (previously computed twice)
+    sh = shingles(docs, k, id_col, text_col).cache()
+    sig = minhash_signatures(n_hashes=n_hashes, sh=sh)
     bands = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("id", "band")
@@ -204,8 +212,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify with exact Jaccard over shingle sets
-    sh = shingles(docs, k, id_col, text_col).cache()
+    # verify with exact Jaccard over the SAME cached shingle sets
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
