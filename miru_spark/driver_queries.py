@@ -938,6 +938,45 @@ FROM bits GROUP BY 1
 )
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via banding with a pigeonhole guarantee
+    (max_hamming < n_bands ⇒ recall 1.0 by construction) — the oracle
+    is the exact all-pairs popcount, so the hash must match exactly."""
+    from miru_spark.operators.dedup import simhash_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dup_pairs(d, max_hamming=2, n_bands=4)
+
+
+_register(
+    "dedup_simhash_pairs",
+    _q_simhash_pairs,
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, c, {{md5}} AS hv FROM tf),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN c ELSE -c END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) b
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id AS id,
+         COALESCE(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS sh
+  FROM bits GROUP BY 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sh::BIT, b.sh::BIT))::INT AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sh::BIT, b.sh::BIT)) <= 2
+""".format(md5=_MD5L.format(x="t")),
+)
+
+
 _COS_SQL = (
     "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"

@@ -287,3 +287,72 @@ def simhash(
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInPandas(sim_batches, schema="id long, simhash long")
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance ``max_hamming``
+    of their 32-bit SimHashes.
+
+    Candidate generation is the classic band trick with a PIGEONHOLE
+    GUARANTEE (not probabilistic): split the signature into ``n_bands``
+    contiguous bit bands; any pair with ≤ ``max_hamming`` < n_bands
+    differing bits must agree exactly on ≥1 band, so an equi-join on
+    (band, band_bits) finds every qualifying pair. Verification is an
+    exact popcount over the candidates only. Sub-quadratic as long as
+    band values spread (16 bits/band at the defaults); raise n_bands
+    for larger d at the cost of coarser bands.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    if SIMHASH_BITS % n_bands:
+        raise ValueError("n_bands must divide SIMHASH_BITS")
+    bits = SIMHASH_BITS // n_bands
+    mask = (1 << bits) - 1
+    sig = simhash(docs, id_col, text_col).cache()
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright("simhash", b * bits).bitwiseAND(mask)
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("id", "simhash", "_bk.band", "_bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

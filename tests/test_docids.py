@@ -43,3 +43,25 @@ def test_ts_monotonic_in_prime_order(spark, tiny_turns):
         with_docint(tiny_turns).select("docint", "ts").orderBy("docint").toPandas()
     )
     assert pdf["ts"].is_monotonic_increasing
+
+
+def test_distributed_path_matches_single_window(spark, tiny_turns):
+    """The two-level prefix-sum path must assign identical docints to
+    the single-window path, at any parallelism."""
+    from miru_spark.docids import with_docint
+
+    a = {
+        (r["conv_id"], r["turn_idx"]): r["docint"]
+        for r in with_docint(tiny_turns, distributed=False).collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["docint"]
+        for r in with_docint(tiny_turns, distributed=True).collect()
+    }
+    assert a == b
+    rep = tiny_turns.repartition(7)
+    c = {
+        (r["conv_id"], r["turn_idx"]): r["docint"]
+        for r in with_docint(rep, distributed=True).collect()
+    }
+    assert a == c

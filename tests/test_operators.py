@@ -196,3 +196,24 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     )
     assert n_cand < 100  # uncapped would be ~152*151/2 ≈ 11k
     df.unpersist()
+
+
+def test_simhash_pair_join_pigeonhole(documents):
+    """Band candidate generation has guaranteed recall for
+    max_hamming < n_bands: pairs must equal the brute-force popcount."""
+    from miru_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(documents).collect()}
+    ids = sorted(sigs)
+    exact = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(documents, max_hamming=2).collect()
+    }
+    assert got == exact
+    assert len(exact) > 0
