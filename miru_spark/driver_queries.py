@@ -938,6 +938,26 @@ FROM bits GROUP BY 1
 )
 
 
+def _q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom set-containment (BloomIndex.java:34-120 semantics): 64-bit
+    per-doc bloom prefilter prunes the corpus with a bitwise scan, exact
+    postings verify keeps the output oracle-exact."""
+    from miru_spark.operators.bloom import contains_all
+
+    idx = _index_for(spark, sf_dir)
+    return contains_all(idx, ["spark", "join", "merge"])
+
+
+_register(
+    "bloom_contains_all",
+    _q_bloom_contains,
+    f"""{SQL_PRELUDE}
+SELECT docint FROM post WHERE term IN ('join', 'merge', 'spark')
+GROUP BY docint HAVING COUNT(DISTINCT term) = 3
+""",
+)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS via banding with a pigeonhole guarantee
     (max_hamming < n_bands ⇒ recall 1.0 by construction) — the oracle

@@ -75,8 +75,18 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs with cosine ≥ threshold."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms computed ONCE per vector (bit-identical to per-pair
+    # recomputation — same sqrt(Σx²) per side, just not repeated n times)
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -84,8 +94,7 @@ def cosine_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cosine"),
         )
@@ -198,8 +207,17 @@ def cosine_dup_pairs_lsh(
         )
         .distinct()
     )
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms once per vector, not per candidate pair (bit-identical)
+    ea = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -207,8 +225,7 @@ def cosine_dup_pairs_lsh(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cosine"),
         )
