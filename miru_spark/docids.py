@@ -42,64 +42,49 @@ JOIN (
 """
 
 
-def with_docint(turns: DataFrame, distributed: bool | None = None) -> DataFrame:
+def with_docint(turns: DataFrame) -> DataFrame:
     """Add a dense ``docint`` column = rank of (conv_id, turn_idx).
 
-    Deterministic and parallelism-independent: the only global order is
-    over distinct conv_ids — and even that never funnels through one
-    partition on big inputs. Two paths:
-
-    - small (default below 16 input partitions): one unpartitioned
-      window over the convs table — fine when convs fit one task;
-    - ``distributed``: two-level prefix sum — range-partition convs by
-      conv_id, per-partition local prefix (window WITH a partition
-      spec), then add per-partition base offsets (one tiny collect of
-      P partition totals, cumulated driver-side, broadcast back). The
-      docint values are independent of where the range boundaries fall,
-      so sampling-based range partitioning cannot perturb them. The
-      convs relation is persisted across its two uses so the sampled
-      partitioning is computed once (recompute-on-eviction replays the
-      same lineage, which is safe).
+    Deterministic and parallelism-independent, with NO unpartitioned
+    window at any size: a two-level prefix sum. Range-partition the
+    convs table by conv_id, per-partition local prefix (a window WITH a
+    partition spec — pure JVM), then add per-partition base offsets
+    (one tiny collect of P partition totals, cumulated driver-side,
+    broadcast back). The docint values are independent of where the
+    range boundaries fall, so sampling-based range partitioning cannot
+    perturb them; the ranged convs relation is persisted across its two
+    uses so the sampled partitioning is computed once (eviction replays
+    the same lineage, which is safe). The global-sort fraction of the
+    job is the convs relation — 3-4 orders of magnitude smaller than
+    turns — and even that is spread over P tasks.
     """
+    spark = turns.sparkSession
     convs = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
-    if distributed is None:
-        distributed = turns.rdd.getNumPartitions() >= 16
-    if not distributed:
-        w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = convs.select(
-            "conv_id", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
-        )
-    else:
-        spark = turns.sparkSession
-        p = max(spark.sparkContext.defaultParallelism, 2)
-        local = (
-            convs.repartitionByRange(p, "conv_id")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-        w = (
-            Window.partitionBy("_pid")
-            .orderBy("conv_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        totals = local.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
-        acc = 0
-        bases = []
-        for r in sorted(totals, key=lambda r: r["_pid"]):
-            bases.append((int(r["_pid"]), acc))
-            acc += int(r["_t"])
-        base_df = F.broadcast(
-            spark.createDataFrame(bases or [(0, 0)], "_pid int, _base long")
-        )
-        offsets = (
-            local.withColumn(
-                "_loff", F.coalesce(F.sum("_n").over(w), F.lit(0))
-            )
-            .join(base_df, "_pid")
-            .select(
-                "conv_id", (F.col("_loff") + F.col("_base")).alias("_off")
-            )
-        )
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    local = (
+        convs.repartitionByRange(p, "conv_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = local.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
+    acc = 0
+    bases = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        bases.append((int(r["_pid"]), acc))
+        acc += int(r["_t"])
+    base_df = F.broadcast(
+        spark.createDataFrame(bases or [(0, 0)], "_pid int, _base long")
+    )
+    offsets = (
+        local.withColumn("_loff", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .join(base_df, "_pid")
+        .select("conv_id", (F.col("_loff") + F.col("_base")).alias("_off"))
+    )
     return (
         turns.join(offsets, "conv_id")
         .withColumn("docint", (F.col("_off") + F.col("turn_idx")).cast("long"))

@@ -17,7 +17,7 @@ Reference semantics (enterstudio/miru):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,18 +35,18 @@ def cooccurrence_features(
     on the driver), NOT a global row_number window: an unpartitioned
     window funnels every (permutation, count) row through one partition,
     which is unbounded for high-cardinality features. Rank is then
-    assigned over the already-limited top_n rows (constant partition key
-    keeps the WindowExec spec non-empty — degenerate by construction,
-    over ≤ top_n rows)."""
+    assigned over the already-limited top_n rows in one Arrow batch
+    (ranking.rank_small — no WindowExec at all)."""
+    from miru_spark.ranking import rank_small
+
     order = [F.desc("n")] + [F.asc(c) for c in feature_cols]
     joined = docs.join(answer_docs, "docint", "left_semi")
     counts = joined.groupBy(*feature_cols).agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(*order).limit(top_n)
-    w = Window.partitionBy(F.lit(1)).orderBy(*order)
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(*feature_cols, "n", "rank")
+    ranked = rank_small(
+        top, [("n", "desc")] + [(c, "asc") for c in feature_cols]
     )
+    return ranked.select(*feature_cols, "n", "rank")
 
 
 def collaborative_filter(

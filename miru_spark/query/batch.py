@@ -122,22 +122,17 @@ def search_batch(
         parts.append(topk)
 
     for qid, qs, k in fallback:
-        # ranking k already-limited rows: partition by a constant so the
-        # WindowExec has a (degenerate) partition spec — same single
-        # partition over k rows, but no "No Partition Defined" global
-        # window in the plan
-        one = search(index, qs, k=k).select(
-            F.lit(qid).alias("qid"),
-            "docint",
-            "score",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.lit(1)).orderBy(
-                    F.desc("score"), F.desc("docint")
-                )
-            )
-            .alias("rank"),
-        )
+        # rank the k already-limited rows in one Arrow batch — an
+        # unpartitioned window would warn per execution, and a constant
+        # partition key gets folded back to the empty spec
+        from miru_spark.ranking import rank_small
+
+        one = rank_small(
+            search(index, qs, k=k).select(
+                F.lit(qid).alias("qid"), "docint", "score"
+            ),
+            [("score", "desc"), ("docint", "desc")],
+        ).select("qid", "docint", "score", "rank")
         parts.append(one)
 
     if not parts:

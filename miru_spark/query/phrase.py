@@ -25,30 +25,41 @@ from miru_spark.tokenize import tokenize_py
 
 
 def phrase_match_docs(index: InvertedIndex, phrase: str) -> DataFrame:
-    """docints whose token stream contains the analyzed phrase."""
+    """docints whose token stream contains the analyzed phrase.
+
+    Plan: a phrase occurrence starting at position s puts term i at
+    position s+i, so SHIFT-NORMALIZED position sets (positions − i)
+    intersect to the occurrence starts REGARDLESS of join order. The
+    chain therefore starts from the RAREST phrase term (df from the
+    tiny cached term-stats lookup): every subsequent position join is
+    bounded by the rarest term's posting count, not the first/stopword
+    term's — the classic leading-term optimization of phrase engines."""
     terms = tokenize_py(phrase)
     if not terms:
         raise ValueError("phrase analyzes to no terms")
     if "positions" not in index.postings.columns:
         raise ValueError("index built without positions; rebuild with positions=True")
-    df = (
-        index.postings.where(F.col("term") == terms[0])
-        .select("docint", F.col("positions").alias("_carry"))
-    )
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = index.postings.where(F.col("term") == t).select(
-            "docint", F.col("positions").alias(f"_p{i}")
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.terms.where(
+            F.col("term").isin(sorted(set(terms)))
+        ).collect()
+    }
+    order = sorted(range(len(terms)), key=lambda i: (dfs.get(terms[i], 0), i))
+
+    def norm_positions(i: int) -> DataFrame:
+        return index.postings.where(F.col("term") == terms[i]).select(
+            "docint",
+            F.transform("positions", lambda x: x - F.lit(i)).alias("_p"),
         )
+
+    df = norm_positions(order[0]).withColumnRenamed("_p", "_carry")
+    for i in order[1:]:
         df = (
-            df.join(nxt, "docint")
-            .withColumn(
-                "_carry",
-                F.array_intersect(
-                    F.transform("_carry", lambda x: x + 1), F.col(f"_p{i}")
-                ),
-            )
+            df.join(norm_positions(i), "docint")
+            .withColumn("_carry", F.array_intersect("_carry", "_p"))
             .where(F.size("_carry") > 0)
-            .drop(f"_p{i}")
+            .drop("_p")
         )
     out = df.select("docint")
     if index.tombstones is not None:

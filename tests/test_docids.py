@@ -45,23 +45,30 @@ def test_ts_monotonic_in_prime_order(spark, tiny_turns):
     assert pdf["ts"].is_monotonic_increasing
 
 
-def test_distributed_path_matches_single_window(spark, tiny_turns):
-    """The two-level prefix-sum path must assign identical docints to
-    the single-window path, at any parallelism."""
+def test_prefix_sum_matches_global_window(spark, tiny_turns):
+    """The two-level prefix sum must assign exactly the docints of a
+    naive global window, at any input parallelism."""
+    from pyspark.sql import Window, functions as F
+
     from miru_spark.docids import with_docint
 
+    convs = tiny_turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    offs = convs.select(
+        "conv_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+    )
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["off"] + r["turn_idx"]
+        for r in tiny_turns.join(offs, "conv_id").collect()
+    }
     a = {
         (r["conv_id"], r["turn_idx"]): r["docint"]
-        for r in with_docint(tiny_turns, distributed=False).collect()
+        for r in with_docint(tiny_turns).collect()
     }
-    b = {
-        (r["conv_id"], r["turn_idx"]): r["docint"]
-        for r in with_docint(tiny_turns, distributed=True).collect()
-    }
-    assert a == b
+    assert a == exp
     rep = tiny_turns.repartition(7)
     c = {
         (r["conv_id"], r["turn_idx"]): r["docint"]
-        for r in with_docint(rep, distributed=True).collect()
+        for r in with_docint(rep).collect()
     }
     assert a == c
