@@ -53,6 +53,11 @@ from miru_spark.indexing.build import postings_flat, term_stats
 
 SHARD_BITS = 40
 
+# serializes manifest.jsonl appends across concurrent shard-build threads
+import threading
+
+_MANIFEST_LOCK = threading.Lock()
+
 
 def _align_block(local_id: int) -> int:
     """Round a writer cursor up to the next block boundary so a
@@ -89,9 +94,12 @@ class SegmentStore:
             return [json.loads(line) for line in f if line.strip()]
 
     def _append_manifest(self, entry: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._manifest_path, "a") as f:
-            f.write(json.dumps(entry) + "\n")
+        # concurrent shard builds (build(max_concurrent>1)) append from
+        # several driver threads; serialize the file append
+        with _MANIFEST_LOCK:
+            os.makedirs(self.path, exist_ok=True)
+            with open(self._manifest_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
 
     def shard_state(self) -> dict[int, dict]:
         """Latest watermark/next_id per shard from the manifest."""
@@ -105,27 +113,53 @@ class SegmentStore:
 
     # -- build -------------------------------------------------------------
 
-    def build(self, turns: DataFrame, fail_after: int | None = None) -> None:
+    def build(
+        self,
+        turns: DataFrame,
+        fail_after: int | None = None,
+        max_concurrent: int = 1,
+    ) -> None:
         """Full build, resumable: skips shards already in the manifest.
 
         ``fail_after`` aborts after N shards (test hook for the
-        kill-and-resume scenario).
+        kill-and-resume scenario). ``max_concurrent`` > 1 submits that
+        many shard builds from concurrent driver threads — Spark
+        schedules jobs from separate threads simultaneously, so one
+        shard's write stage overlaps another's tokenize stage instead
+        of the cluster draining between serial jobs. Each shard's unit
+        is still an independent manifest entry (resumability is
+        per-shard either way); at very high shard counts batch the
+        range into groups of ``max_concurrent``.
         """
         done = {s for s, e in self.shard_state().items() if e["delta"] == 0}
-        built = 0
         with_shard = turns.withColumn("_shard", shard_col(self.n_shards))
-        for s in range(self.n_shards):
-            if s in done:
-                continue
-            if fail_after is not None and built >= fail_after:
-                raise RuntimeError(f"injected failure after {built} shards")
+        todo = [s for s in range(self.n_shards) if s not in done]
+        if fail_after is not None:
+            if fail_after < len(todo):
+                for s in todo[:fail_after]:
+                    self._build_unit(
+                        with_shard.where(F.col("_shard") == s).drop("_shard"),
+                        shard=s, delta=0, base_local_id=0,
+                    )
+                raise RuntimeError(f"injected failure after {fail_after} shards")
+        if max_concurrent <= 1:
+            for s in todo:
+                self._build_unit(
+                    with_shard.where(F.col("_shard") == s).drop("_shard"),
+                    shard=s, delta=0, base_local_id=0,
+                )
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(s: int) -> None:
             self._build_unit(
                 with_shard.where(F.col("_shard") == s).drop("_shard"),
-                shard=s,
-                delta=0,
-                base_local_id=0,
+                shard=s, delta=0, base_local_id=0,
             )
-            built += 1
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            for f in [pool.submit(one, s) for s in todo]:
+                f.result()  # surface the first failure
 
     def append(self, new_turns: DataFrame) -> None:
         """Sip-style incremental append: index only rows beyond each

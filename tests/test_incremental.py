@@ -143,3 +143,24 @@ def test_merge_is_crash_atomic(spark, tiny_turns, tiny_pdf, tmp_path):
     assert "delta_0000" not in os.listdir(sdir)
     # appends after a merge continue the lineage
     assert store.load().n_docs == len(tiny_pdf)
+
+
+def test_concurrent_shard_build_equivalent(spark, tiny_turns, tiny_pdf, tmp_path):
+    """Thread-pooled shard builds (concurrent Spark jobs) produce the
+    same store as the serial loop — same manifest coverage, same
+    answers."""
+    serial = _store(spark, tmp_path / "ser")
+    serial.build(tiny_turns)
+    conc = _store(spark, tmp_path / "conc")
+    conc.build(tiny_turns, max_concurrent=4)
+    m = conc.manifest()
+    assert sorted(e["shard"] for e in m) == list(range(N_SHARDS))
+    assert sum(e["n_turns"] for e in m) == len(tiny_pdf)
+    a = serial.load()
+    b = conc.load()
+    assert b.n_docs == a.n_docs
+    ga = search(a, "w00001 AND w00004", k=10).toPandas()
+    gb = search(b, "w00001 AND w00004", k=10).toPandas()
+    assert sorted(zip(ga["conv_id"], ga["turn_idx"])) == sorted(
+        zip(gb["conv_id"], gb["turn_idx"])
+    )
