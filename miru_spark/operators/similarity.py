@@ -341,10 +341,10 @@ class LshIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> DataFrame:
-        qvec = np.array(
-            emb.where(F.col(id_col) == query_id).select(vec_col).first()[0],
-            dtype=np.float64,
-        )
+        row = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+        if row is None:
+            raise KeyError(f"{id_col}={query_id} not found in embeddings")
+        qvec = np.array(row[0], dtype=np.float64)
         pred = None
         for t, probes in self._query_probes(qvec, multiprobe):
             c = (F.col("table") == t) & F.col("bucket").isin(probes)
