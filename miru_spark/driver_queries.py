@@ -1164,6 +1164,57 @@ FROM documents
 )
 
 
+def _q_analyze_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-locale analysis (TermAnalyzers.java:45-133): each document
+    is analyzed by the analyzer its ``lang`` maps to (en → minimal
+    plural stemmer, zh/ja/ko → CJK bigrams, else standard) and reports
+    token/term counts. The en rows are the hard stemmer signal: their
+    n_terms differ from standard whenever plural forms conflate."""
+    from miru_spark.analyzers import analyze_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        F.when(F.col("lang") == "en", analyze_col(F.col("text"), "en"))
+        .when(
+            F.col("lang").isin("zh", "ja", "ko"),
+            analyze_col(F.col("text"), "cjk"),
+        )
+        .otherwise(analyze_col(F.col("text"), "standard"))
+    )
+    # struct-wrap so the analysis expression is materialized once, not
+    # re-evaluated per consumer (same trick as postings_flat)
+    wrapped = d.select("doc_id", "lang", F.struct(toks.alias("t")).alias("_s"))
+    return wrapped.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("lang"),
+        F.size("_s.t").alias("n_tokens"),
+        F.size(F.array_distinct("_s.t")).alias("n_terms"),
+    )
+
+
+def _analyze_locale_sql() -> str:
+    from miru_spark.analyzers import duckdb_analyze
+
+    en = duckdb_analyze("text", "en")
+    cjk = duckdb_analyze("text", "cjk")
+    std = duckdb_analyze("text", "standard")
+    return f"""
+SELECT doc_id AS id, lang,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_terms
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN {en}
+              WHEN lang IN ('zh','ja','ko') THEN {cjk}
+              ELSE {std} END AS t
+  FROM documents
+)
+"""
+
+
+_register("analyze_locale", _q_analyze_locale, _analyze_locale_sql())
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miru_spark.operators.multimodal import documents_as_binary, extract_features
 
@@ -1303,6 +1354,80 @@ SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
 FROM scored sc JOIN dl USING (docint)
 ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
 """,
+)
+
+
+# -- block-max serving paths (SURVEY §2.6; LabInvertedIndex block layout) ----
+
+_BLOCKS_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _blocks_index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """The ``_index_for`` handle with compressed block segments attached
+    (indexing/blocks.py) — the serving index the plan chooser
+    (query/serve.py) routes block-path queries to."""
+    import dataclasses
+
+    from miru_spark.indexing.blocks import build_blocks
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _BLOCKS_INDEX_CACHE:
+        idx = _index_for(spark, sf_dir)
+        blocks = build_blocks(
+            idx.postings.select("term", "docint", "tf", "doclen"), idx.avg_doclen
+        ).cache()
+        _BLOCKS_INDEX_CACHE[key] = dataclasses.replace(idx, blocks=blocks)
+    return _BLOCKS_INDEX_CACHE[key]
+
+
+def _q_blockmax_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BM25 served through the block-segment path: the
+    block-id semi-join prunes blocks missing any query term BEFORE any
+    varint decode (query/blockmax.py:search_blocks_and). Rank-identical
+    to the flat engine; the oracle is the same BM25 SQL — this row is
+    the hard correctness signal for the compressed block codec +
+    block-max serving stack (reference: MiruFullTextNGTest.java AND
+    queries over LabInvertedIndex block storage)."""
+    from miru_spark.query.serve import search_auto
+
+    idx = _blocks_index_for(spark, sf_dir)
+    out = search_auto(idx, "stream AND window", k=10, and_min_postings=0)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_blockmax",
+    _q_blockmax_and,
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term IN ('stream','window') "
+        "GROUP BY docint HAVING COUNT(DISTINCT term) = 2",
+        "p.term IN ('stream','window')",
+        10,
+    ),
+)
+
+
+def _q_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 served through block-max WAND
+    (query/blockmax.py:search_blocks_or): probe the highest-upper-bound
+    blocks for a score floor, then decode only blocks whose block-max
+    upper bound clears it. Same answer as the flat OR scan — the oracle
+    SQL proves it."""
+    from miru_spark.query.serve import search_auto
+
+    idx = _blocks_index_for(spark, sf_dir)
+    out = search_auto(idx, "stream OR merge", k=10, or_wand_min_postings=0)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_wand",
+    _q_wand_or,
+    _bm25_sql(
+        "SELECT DISTINCT docint FROM post WHERE term IN ('merge','stream')",
+        "p.term IN ('merge','stream')",
+        10,
+    ),
 )
 
 

@@ -58,7 +58,11 @@ class InvertedIndex:
 
     @classmethod
     def build(
-        cls, turns: DataFrame, positions: bool = True, cache: bool = True
+        cls,
+        turns: DataFrame,
+        positions: bool = True,
+        cache: bool = True,
+        analyzer: str = "standard",
     ) -> "InvertedIndex":
         """Build in-memory handle.
 
@@ -71,8 +75,8 @@ class InvertedIndex:
         base = base_with_docint(turns)
         if cache:
             base = base.cache()
-        doc_tbl = doc_stats(base)
-        post = postings_flat(base, positions=positions)
+        doc_tbl = doc_stats(base, analyzer=analyzer)
+        post = postings_flat(base, positions=positions, analyzer=analyzer)
         n, avgdl = corpus_stats(doc_tbl)
         terms = term_stats(post)
         return cls(post, doc_tbl, terms, n, avgdl, _docs_cached=base if cache else None)
@@ -134,6 +138,7 @@ class InvertedIndex:
         tokenizer: str = "auto",
         blocks: bool = False,
         table_format: str = "auto",
+        analyzer: str = "standard",
     ) -> "InvertedIndex":
         """The production build job: transcripts → persisted segments.
 
@@ -161,9 +166,9 @@ class InvertedIndex:
         if tokenizer == "auto":
             tokenizer = "pandas" if positions else "jvm"
         flat = (
-            postings_flat_pandas(base, positions=positions)
+            postings_flat_pandas(base, positions=positions, analyzer=analyzer)
             if tokenizer == "pandas"
-            else postings_flat(base, positions=positions)
+            else postings_flat(base, positions=positions, analyzer=analyzer)
         )
         write_table(
             flat.withColumn(

@@ -36,6 +36,20 @@ from miru_spark.tokenize import tokens_col
 FIELD_TEXT = "text"
 
 
+def _tokens_fn(analyzer: str):
+    """Column-producing token fn for an analyzer name.
+
+    ``standard`` routes to the bare :func:`tokens_col` (identical plan
+    to round 1); other names go through the per-locale registry
+    (analyzers.py — the reference's ``TermAnalyzers.java:45-133``
+    field-definition analyzers)."""
+    if analyzer == "standard":
+        return tokens_col
+    from miru_spark.analyzers import analyze_col
+
+    return lambda c: analyze_col(c, analyzer)
+
+
 def base_with_docint(turns: DataFrame) -> DataFrame:
     """turns + docint — the cacheable base (no token arrays; caching 10s
     of millions of token strings through the block store costs more than
@@ -45,7 +59,9 @@ def base_with_docint(turns: DataFrame) -> DataFrame:
     return turns
 
 
-def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
+def postings_flat(
+    base: DataFrame, positions: bool = True, analyzer: str = "standard"
+) -> DataFrame:
     """``(term, docint, tf, doclen[, positions])`` — the flat inverted index.
 
     ``doclen`` is denormalized onto every posting row (one small int,
@@ -59,7 +75,7 @@ def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
     # re-evaluates the regex per consumer (verified in the physical
     # plan), while the struct field is computed a single time.
     wrapped = base.select(
-        "docint", F.struct(tokens_col("text").alias("t")).alias("_s")
+        "docint", F.struct(_tokens_fn(analyzer)(F.col("text")).alias("t")).alias("_s")
     )
     exploded = wrapped.select(
         "docint",
@@ -75,7 +91,9 @@ def postings_flat(base: DataFrame, positions: bool = True) -> DataFrame:
     return exploded.groupBy("term", "docint").agg(*aggs)
 
 
-def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
+def postings_flat_pandas(
+    base: DataFrame, positions: bool = True, analyzer: str = "standard"
+) -> DataFrame:
     """Arrow/pandas-UDF tokenizer emitting finished posting rows.
 
     Unlike the explode+groupBy path, the per-doc (term → tf, positions)
@@ -90,9 +108,10 @@ def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
 
     import pandas as pd
 
-    from miru_spark.tokenize import _PY_TOKEN
+    from miru_spark.analyzers import analyze_py
 
     want_pos = positions
+    an = analyzer
 
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,7 +123,7 @@ def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
             for docint, text in zip(pdf["docint"], pdf["text"]):
                 if not text:
                     continue
-                toks = _PY_TOKEN.findall(text.lower())
+                toks = analyze_py(text, an)
                 acc: dict[str, list[int]] = defaultdict(list)
                 for i, t in enumerate(toks):
                     acc[t].append(i)
@@ -131,7 +150,7 @@ def postings_flat_pandas(base: DataFrame, positions: bool = True) -> DataFrame:
     return base.select("docint", "text").mapInPandas(tok, schema=schema)
 
 
-def doc_stats(base: DataFrame) -> DataFrame:
+def doc_stats(base: DataFrame, analyzer: str = "standard") -> DataFrame:
     """Per-doc row store: docint → stored fields + doclen.
 
     ``text`` rides along — the reference's activity index stores field
@@ -142,7 +161,7 @@ def doc_stats(base: DataFrame) -> DataFrame:
     into the row store without build changes."""
     extra = [c for c in base.columns if c != "docint"]
     return base.select(
-        "docint", *extra, F.size(tokens_col("text")).alias("doclen")
+        "docint", *extra, F.size(_tokens_fn(analyzer)(F.col("text"))).alias("doclen")
     )
 
 
