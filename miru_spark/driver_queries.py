@@ -490,6 +490,41 @@ FROM events GROUP BY 1, 2
 )
 
 
+def _q_waveform_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-compressed waveform (AnalyticsAnswer wire coding): dense
+    per-event-type daily count arrays, delta-coded, exploded to rows
+    for the exact oracle check. operators/waveform.py."""
+    from miru_spark.operators.waveform import waveform_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return waveform_delta(ev, key_col="event_type", unit="day")
+
+
+_register(
+    "waveform_delta",
+    _q_waveform_delta,
+    """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS d FROM events),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+c AS (SELECT event_type, d, COUNT(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+di AS (
+  SELECT unnest(range(0, date_diff('day', d0, d1) + 1)) AS ii, d0 FROM bounds
+),
+days AS (SELECT d0 + to_days(ii::INT) AS d, ii::INT AS idx FROM di),
+et AS (SELECT DISTINCT event_type FROM b),
+dense AS (
+  SELECT et.event_type, days.idx, COALESCE(c.n, 0) AS n
+  FROM et CROSS JOIN days
+  LEFT JOIN c ON c.event_type = et.event_type AND c.d = days.d
+)
+SELECT event_type, idx,
+       n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY idx), 0)
+         AS delta
+FROM dense
+""",
+)
+
+
 def _q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest' write-time index semantics (reference MiruIndexLatest.java:31-60):
     newest event per user via window rank."""
