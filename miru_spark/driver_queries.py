@@ -1305,6 +1305,34 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("knn_cosine_lsh", _q_knn_lsh, None)
 
 
+_IVF_CACHE: dict = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    from miru_spark.operators.similarity import IvfIndex
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _IVF_CACHE:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IvfIndex.build(e, n_lists=16)
+        idx.assignments = idx.assignments.cache()
+        _IVF_CACHE[key] = idx
+    return _IVF_CACHE[key]
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path — coarse-quantizer centroids trained on a bounded
+    deterministic sample, corpus assigned to inverted lists once at
+    build, query probes the nprobe nearest lists by literal list-id
+    predicates (partition pruning at scale). No SQL oracle (centroids
+    are engine-side); recall vs brute force asserted in pytest."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ivf_index_for(spark, sf_dir).topk(e, query_id=0, k=10, nprobe=6)
+
+
+_register("knn_cosine_ivf", _q_knn_ivf, None)
+
+
 def _q_emb_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding dedup: LSH band-bucket candidate join +
     exact-cosine verify (no crossJoin). The oracle is the EXACT pair

@@ -396,3 +396,178 @@ def lsh_bucket_topk(
         emb, query_id, k=k, multiprobe=multiprobe,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted-file ANN index (coarse quantizer + probed lists)
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(
+    X: np.ndarray, n_lists: int, iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's on the unit sphere) over a bounded
+    training sample — pure numpy, deterministic under ``seed``.
+
+    Standard IVF practice: the coarse quantizer trains on a sample
+    (FAISS trains IVF on ~256 vectors/list), then assignment runs
+    distributed over the full corpus. Empty lists reseed to the point
+    farthest from its centroid so every list stays live."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        sims = Xn @ C.T  # (n, n_lists) cosine since both unit-norm
+        assign = sims.argmax(axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                # reseed dead list with the globally worst-fit point
+                worst = sims.max(axis=1).argmin()
+                C[j] = Xn[worst]
+            else:
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list) — nearest-centroid assignment, one Arrow-batched
+    pass over the corpus (mapInPandas; the centroid matrix rides into
+    the closure, ~n_lists*dim floats — broadcast-sized)."""
+    C = centroids.astype(np.float64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "list": (Xn @ C.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, list int"
+    )
+
+
+class IvfIndex:
+    """Build-time-persisted IVF ANN index — the scale path beside
+    :class:`LshIndex` (the brief's "IVF or LSH-bucketed variant").
+
+    Layout mirrors FAISS IndexIVFFlat re-expressed relationally: the
+    coarse quantizer is a numpy centroid matrix (driver/broadcast
+    scale), the inverted lists are ONE DataFrame ``(vec_id, list)``
+    persisted partitioned by ``list`` and probed with literal list-id
+    predicates — partition pruning makes a query touch only the
+    ``nprobe`` probed lists, never the corpus. Exact cosine runs inside
+    the probed candidate set only, so scores are exact; approximation
+    lives purely in which lists are probed.
+    """
+
+    def __init__(self, assignments: DataFrame, centroids: np.ndarray, seed: int):
+        self.assignments = assignments
+        self.centroids = centroids
+        self.seed = seed
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        n_lists: int = 16,
+        sample: int = 4096,
+        iters: int = 15,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        # deterministic bounded training sample: lowest-xxhash rows
+        # (TakeOrdered — no full sort materialization at scale)
+        rows = (
+            emb.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(sample)
+            .collect()
+        )
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        C = _train_centroids(X, n_lists=n_lists, iters=iters, seed=seed)
+        return cls(ivf_assign(emb, C, id_col, vec_col), C, seed)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        (
+            self.assignments.repartition("list")
+            .write.mode("overwrite")
+            .partitionBy("list")
+            .parquet(f"{path}/assignments")
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {"seed": self.seed, "centroids": self.centroids.tolist()}, f
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark.read.parquet(f"{path}/assignments"),
+            np.array(meta["centroids"], dtype=np.float64),
+            int(meta["seed"]),
+        )
+
+    def probe_lists(self, qvec: np.ndarray, nprobe: int) -> list[int]:
+        """Driver-side: the nprobe nearest coarse centroids (no job)."""
+        q = qvec / max(np.linalg.norm(qvec), 1e-12)
+        sims = self.centroids @ q
+        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    def topk(
+        self,
+        emb: DataFrame,
+        query_id: int,
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        row = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+        if row is None:
+            raise KeyError(f"{id_col}={query_id} not found in embeddings")
+        qvec = np.array(row[0], dtype=np.float64)
+        probes = self.probe_lists(qvec, nprobe)
+        cand = (
+            self.assignments.where(F.col("list").isin(probes))
+            .select("vec_id")
+            .distinct()
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        return (
+            emb.join(cand.withColumnRenamed("vec_id", id_col), id_col, "left_semi")
+            .where(F.col(id_col) != query_id)
+            .select(
+                F.col(id_col),
+                F.round(
+                    _dot(F.col(vec_col), qlit)
+                    / (_norm(F.col(vec_col)) * _norm(qlit)),
+                    4,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )

@@ -81,6 +81,51 @@ def test_lsh_topk_recall(embeddings):
         assert abs(ec[r["vec_id"]] - r["cosine"]) < 1e-9
 
 
+def test_ivf_topk_recall(embeddings):
+    from miru_spark.operators.similarity import IvfIndex, cosine_topk
+
+    idx = IvfIndex.build(embeddings, n_lists=16)
+    idx.assignments = idx.assignments.cache()
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in idx.topk(embeddings, 0, k=10, nprobe=6).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF recall too low: {overlap}"
+    # exact scores within the probed set
+    ec = {r["vec_id"]: r["cosine"] for r in cosine_topk(embeddings, 0, k=500).collect()}
+    for r in idx.topk(embeddings, 0, k=10, nprobe=6).collect():
+        assert abs(ec[r["vec_id"]] - r["cosine"]) < 1e-9
+    # nprobe = n_lists probes everything -> recall 1.0 (exact fallback)
+    full = [r["vec_id"] for r in idx.topk(embeddings, 0, k=10, nprobe=16).collect()]
+    assert full == exact
+
+
+def test_ivf_assignments_cover_corpus(embeddings):
+    from miru_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex.build(embeddings, n_lists=8)
+    n = embeddings.count()
+    a = idx.assignments.cache()
+    assert a.count() == n  # every vector in exactly one list
+    assert a.select("vec_id").distinct().count() == n
+    n_lists_used = a.select("list").distinct().count()
+    assert n_lists_used >= 4  # centroids spread, not collapsed
+
+
+def test_ivf_save_load_roundtrip(embeddings, tmp_path):
+    import numpy as np
+
+    from miru_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex.build(embeddings, n_lists=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    idx2 = IvfIndex.load(embeddings.sparkSession, path)
+    assert np.allclose(idx.centroids, idx2.centroids)
+    got = [r["vec_id"] for r in idx2.topk(embeddings, 0, k=5, nprobe=4).collect()]
+    exp = [r["vec_id"] for r in idx.topk(embeddings, 0, k=5, nprobe=4).collect()]
+    assert got == exp
+
+
 def test_multimodal_plumbing(spark, documents):
     from miru_spark.operators.multimodal import (
         documents_as_binary,
