@@ -1420,6 +1420,67 @@ ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
 )
 
 
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighter (LuceneBackedQueryParser.highlight:56-74): top-k BM25
+    hits with a ±8-token window around the first matched token, matches
+    wrapped in <b></b>. The full windowing+marking logic has a DuckDB
+    twin, so snippets are hash-checked exactly."""
+    from miru_spark.query.highlight import with_snippets
+
+    idx = _index_for(spark, sf_dir)
+    res = search(idx, "spark AND join", k=10)
+    out = with_snippets(idx, res, "spark AND join", window=8)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_snippets",
+    _q_snippets,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('spark','join')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark','join') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+topk AS (
+  SELECT dl.conv_id, dl.turn_idx, m.docint,
+         ROUND(COALESCE(ct.score, 0), 4) AS score
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+  ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+  LIMIT 10
+),
+sn AS (
+  SELECT topk.conv_id, topk.turn_idx, topk.docint, topk.score,
+         {_TOK} AS t
+  FROM topk JOIN d ON d.docint = topk.docint
+),
+calc AS (
+  SELECT *,
+    greatest(list_position(list_transform(t, x -> x IN ('spark','join')),
+                           true) - 9, 0) AS lo
+  FROM sn
+)
+SELECT conv_id, turn_idx, docint, score,
+  array_to_string(
+    list_transform(t[lo + 1 : lo + 17],
+      x -> CASE WHEN x IN ('spark','join')
+                THEN '<b>' || x || '</b>' ELSE x END),
+    ' ') AS snippet
+FROM calc
+""",
+)
+
+
 # -- block-max serving paths (SURVEY §2.6; LabInvertedIndex block layout) ----
 
 _BLOCKS_INDEX_CACHE: dict[str, InvertedIndex] = {}

@@ -153,3 +153,34 @@ class FilterEvaluator:
         for n in neg:
             base = base.join(self._eval(n), "docint", "left_anti")
         return base
+
+
+def row_predicate(node: Node, tokens: Column) -> Column:
+    """Evaluate a filter tree directly against ONE document row — a
+    boolean column over (tokens array, metadata columns).
+
+    The index-backed :class:`FilterEvaluator` answers "which docs match"
+    over the corpus; this answers "does THIS row match", which is what
+    per-batch streaming consumers need (realtime delivery matches each
+    ingested activity against registered subscriptions — the reference
+    pushes ids at ingest time, MiruLocalHostedPartition.java realtime
+    delivery hook). Pure column expressions: text terms via
+    array_contains / exists-startswith on the token array, metadata
+    leaves via the same typed predicates the evaluator uses."""
+    if isinstance(node, (Term, Prefix)) and _is_text_leaf(node):
+        if isinstance(node, Term):
+            return F.array_contains(tokens, node.value)
+        return F.exists(tokens, lambda t: t.startswith(node.value))
+    if isinstance(node, (Term, Prefix, Range, AuthzAny)):
+        return _meta_pred(node)
+    if isinstance(node, And):
+        return reduce(
+            lambda a, b: a & b, (row_predicate(c, tokens) for c in node.children)
+        )
+    if isinstance(node, Or):
+        return reduce(
+            lambda a, b: a | b, (row_predicate(c, tokens) for c in node.children)
+        )
+    if isinstance(node, Not):
+        return ~row_predicate(node.child, tokens)
+    raise TypeError(f"unsupported node: {node!r}")
