@@ -332,6 +332,63 @@ ORDER BY ct.score DESC LIMIT 10
 )
 
 
+def _q_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster sync (MiruSyncSender.java:74-1152): the incremental
+    store forward-syncs its units to a second store (different shard
+    count = a different "cluster"), which re-indexes under its own id
+    space; BM25 over the DESTINATION must equal the full-corpus oracle.
+    Query terms differ from ft_bm25_incremental so this row is
+    independent signal."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+    from miru_spark.indexing.sync import SyncSender
+
+    key = f"{id(spark)}:{sf_dir}:sync"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        src = SegmentStore(spark, tempfile.mkdtemp(prefix="miru_syncsrc_"), n_shards=2)
+        dest = SegmentStore(spark, tempfile.mkdtemp(prefix="miru_syncdst_"), n_shards=3)
+        src.build(turns.where(F.col("conv_id") < "conv00000040"))
+        sender = SyncSender(src, dest)
+        sender.sync()
+        src.append(turns)  # second source delta arrives...
+        sender.sync()  # ...and a second round ships only the delta
+        idx = dest.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "hash AND window", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_register(
+    "ft_bm25_sync",
+    _q_sync,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('hash','window')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('hash','window') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
+
+
 # -- index-build artifacts (SURVEY.md §2.2) ----------------------------------
 
 
