@@ -58,6 +58,17 @@ _PY_STEM = re.compile(_STEM_RE)
 
 WS_RUN_RE = "[^\\s]+"
 
+# Bounded deterministic English stopword set — the reference gates a
+# 1006-word Lucene list per field definition (EnStopwords.java;
+# stopwords on/off in TermAnalyzers): the *mechanism* (filter analyzed
+# tokens against a fixed set, identical in all three engines) is what
+# matters; the set itself is a tunable constant.
+EN_STOPWORDS = (
+    "a an and are as at be but by for from has have he her his i in is it "
+    "its me my no not of on or our she so that the their them they this to "
+    "was we were will with you your"
+).split()
+
 # locale -> analyzer, the reference's TermAnalyzers map shape.
 LOCALE_ANALYZERS: dict[str, str] = {
     "en": "en",
@@ -107,6 +118,10 @@ def analyze_col(text: Column | str, analyzer: str = DEFAULT_ANALYZER) -> Column:
         )
     if analyzer == "cjk":
         return F.concat(tokens_col(c), _cjk_bigrams_col(c))
+    if analyzer == "en_stop":
+        return F.filter(
+            analyze_col(c, "en"), lambda t: ~t.isin(list(EN_STOPWORDS))
+        )
     raise ValueError(f"unknown analyzer: {analyzer!r}")
 
 
@@ -136,6 +151,9 @@ def analyze_py(text: str | None, analyzer: str = DEFAULT_ANALYZER) -> list[str]:
             else:
                 out.extend(run[i : i + 2] for i in range(len(run) - 1))
         return out
+    if analyzer == "en_stop":
+        stop = set(EN_STOPWORDS)
+        return [t for t in analyze_py(text, "en") if t not in stop]
     raise ValueError(f"unknown analyzer: {analyzer!r}")
 
 
@@ -172,6 +190,11 @@ def duckdb_analyze(col: str, analyzer: str = DEFAULT_ANALYZER) -> str:
         "en": _DUCK_STEM,
         "cjk": _DUCK_CJK,
     }
+    if analyzer == "en_stop":
+        stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+        return (
+            "list_filter(" + _DUCK_STEM.format(col=col) + f", x -> x NOT IN ({stop}))"
+        )
     if analyzer not in frags:
         raise ValueError(f"unknown analyzer: {analyzer!r}")
     return frags[analyzer].format(col=col)

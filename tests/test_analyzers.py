@@ -28,7 +28,7 @@ CASES = [
     "한국어 형태소 분석기",
 ]
 
-ANALYZERS = ["standard", "whitespace", "en", "cjk"]
+ANALYZERS = ["standard", "whitespace", "en", "cjk", "en_stop"]
 
 
 @pytest.mark.parametrize("analyzer", ANALYZERS)
@@ -69,6 +69,11 @@ def test_cjk_bigrams():
     assert analyze_py("ab 中 cd", "cjk") == ["ab", "cd", "中"]
     # hangul + hiragana runs bigram independently
     assert analyze_py("조인 키", "cjk") == ["조인", "키"]
+
+
+def test_en_stopwords():
+    got = analyze_py("the tables are in a fast index", "en_stop")
+    assert got == ["table", "fast", "index"]
 
 
 def test_whitespace_preserves_case():
