@@ -106,7 +106,10 @@ def main() -> None:
                  "collab_filter", "dedup_exact", "dedup_minhash_lsh",
                  "knn_cosine", "text_quality", "ft_bm25_range",
                  "ft_bm25_authz", "ft_bm25_tsrange", "strut_scored",
-                 "dedup_embedding_lsh", "knn_cosine_lsh"]:
+                 "dedup_embedding_lsh", "knn_cosine_lsh",
+                 # round-2 additions
+                 "ft_bm25_blockmax", "ft_bm25_wand", "ft_snippets",
+                 "analyze_locale", "waveform_delta", "knn_cosine_ivf"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

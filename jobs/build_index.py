@@ -43,6 +43,12 @@ def main() -> None:
         "(whose rename-commit units are filesystem-parquet; on Iceberg "
         "the equivalent commit primitive is a snapshot transaction)",
     )
+    ap.add_argument(
+        "--analyzer",
+        default="standard",
+        help="per-locale analyzer for --flat builds (analyzers.py: "
+        "standard|whitespace|en|en_stop|cjk)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -61,6 +67,7 @@ def main() -> None:
             positions=args.positions,
             blocks=args.blocks,
             table_format=args.format,
+            analyzer=args.analyzer,
         )
         out = {
             "n_docs": idx.n_docs,

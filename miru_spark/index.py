@@ -71,12 +71,21 @@ class InvertedIndex:
         explode+groupBy from cached docs is ~10x cheaper than caching
         13M+ posting rows through Spark's row-based block store; at real
         scale postings are persisted columnar via :meth:`save` instead.
+
+        With ``positions`` the Arrow-batched pandas tokenizer emits
+        finished posting rows (same rule as :meth:`build_persisted`):
+        the in-UDF per-doc position accumulation beats
+        collect_list+sort_array on exploded tokens by ~6x.
         """
         base = base_with_docint(turns)
         if cache:
             base = base.cache()
         doc_tbl = doc_stats(base, analyzer=analyzer)
-        post = postings_flat(base, positions=positions, analyzer=analyzer)
+        post = (
+            postings_flat_pandas(base, positions=True, analyzer=analyzer)
+            if positions
+            else postings_flat(base, positions=False, analyzer=analyzer)
+        )
         n, avgdl = corpus_stats(doc_tbl)
         terms = term_stats(post)
         return cls(post, doc_tbl, terms, n, avgdl, _docs_cached=base if cache else None)
