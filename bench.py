@@ -109,7 +109,9 @@ def main() -> None:
                  "dedup_embedding_lsh", "knn_cosine_lsh",
                  # round-2 additions
                  "ft_bm25_blockmax", "ft_bm25_wand", "ft_snippets",
-                 "analyze_locale", "waveform_delta", "knn_cosine_ivf"]:
+                 "analyze_locale", "waveform_delta", "knn_cosine_ivf",
+                 "dedup_components", "hash_split_docs",
+                 "stratified_sample_lang"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

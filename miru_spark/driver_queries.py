@@ -1030,6 +1030,109 @@ FROM bits GROUP BY 1
 )
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram Jaccard pair graph →
+    (doc_id, canonical_id) canonicalization mapping. Oracle = DuckDB
+    recursive CTE computing min reachable id over the same edge set."""
+    from miru_spark.operators.components import canonical_docs
+    from miru_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return canonical_docs(pairs).select("doc_id", "canonical_id")
+
+
+_register(
+    "dedup_components",
+    _q_dedup_components,
+    _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes za ON za.id = s.id_a
+  JOIN sizes zb ON zb.id = s.id_b
+  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
+)
+SELECT id AS doc_id, LEAST(id, MIN(lbl)) AS canonical_id
+FROM reach GROUP BY id
+""",
+)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed doc id —
+    stable under corpus growth and cluster layout (operators/sampling.py)."""
+    from miru_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}).select(
+        "doc_id", "split"
+    )
+
+
+def _hash_split_sql() -> str:
+    from miru_spark.operators.sampling import duckdb_bucket
+
+    b = duckdb_bucket("doc_id", "v1")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 9000 THEN 'train'
+            WHEN {b} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+_register("hash_split_docs", _q_hash_split, _hash_split_sql())
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic down-sampling to rebalance the corpus
+    mix (keep all zh, half of en, a quarter of everything else)."""
+    from miru_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        d, rates={"zh": 1.0, "en": 0.5}, strata_col="lang", default_rate=0.25
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from miru_spark.operators.sampling import duckdb_bucket
+
+    b = duckdb_bucket("doc_id", "v1")
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {b} < (CASE lang WHEN 'zh' THEN 1.0 WHEN 'en' THEN 0.5
+             ELSE 0.25 END * 10000)::INT
+"""
+
+
+_register("stratified_sample_lang", _q_stratified_sample, _stratified_sample_sql())
+
+
 def _q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom set-containment (BloomIndex.java:34-120 semantics): 64-bit
     per-doc bloom prefilter prunes the corpus with a bitwise scan, exact
