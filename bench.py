@@ -111,7 +111,8 @@ def main() -> None:
                  "ft_bm25_blockmax", "ft_bm25_wand", "ft_snippets",
                  "analyze_locale", "waveform_delta", "knn_cosine_ivf",
                  "dedup_components", "hash_split_docs",
-                 "stratified_sample_lang"]:
+                 "stratified_sample_lang", "ft_bm25_page2",
+                 "pack_sequences"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

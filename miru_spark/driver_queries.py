@@ -70,9 +70,12 @@ _BM25 = (
 )
 
 
-def _bm25_sql(match_sql: str, score_pred: str, k: int) -> str:
+def _bm25_sql(match_sql: str, score_pred: str, k: int, offset: int = 0) -> str:
     """Top-k BM25 oracle: ``match_sql`` yields matching docints,
-    ``score_pred`` selects scoring postings rows (term predicate)."""
+    ``score_pred`` selects scoring postings rows (term predicate).
+    ``offset`` skips the first N rows of the same total order — the
+    oracle twin of the engine's keyset pagination (``search(after=...)``)."""
+    off = f" OFFSET {offset}" if offset else ""
     return f"""{SQL_PRELUDE},
 m AS ({match_sql}),
 contrib AS (
@@ -90,7 +93,7 @@ FROM m
 LEFT JOIN contrib ct USING (docint)
 JOIN dl ON dl.docint = m.docint
 ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
-LIMIT {k}
+LIMIT {k}{off}
 """
 
 
@@ -230,6 +233,37 @@ _register(
         "OR list_contains(dl.authz, 'g5'))",
         "p.term = 'batch'",
         10,
+    ),
+)
+
+
+def _q_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable top-k paging: page 1's lowest score + docints become the
+    keyset cursor for page 2 (reference FullTextReport.lowestScore
+    carried into FullText.java:134 as the next scoring floor). The
+    cursor is k scalar values collected driver-side — the same
+    constant-size collect the WAND floor uses — and page 2 prunes on the
+    score floor before its sort. Oracle = same total order, OFFSET k."""
+    idx = _index_for(spark, sf_dir)
+    p1 = search(idx, "hash OR merge", k=10).select("docint", "score").collect()
+    out = search(
+        idx,
+        "hash OR merge",
+        k=10,
+        after=p1[-1]["score"],
+        exclude=[r["docint"] for r in p1],
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_page2",
+    _q_page2,
+    _bm25_sql(
+        "SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')",
+        "p.term IN ('hash','merge')",
+        10,
+        offset=10,
     ),
 )
 
@@ -1259,6 +1293,44 @@ SELECT doc_id AS id, len(t)::INT AS n_tokens,
        len(list_distinct(t))::INT AS n_unique_tokens,
        length({_NORM})::INT AS n_chars_norm
 FROM tok
+""",
+)
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512) over the documents
+    table: per doc its global token offset and first/last sequence id,
+    computed with the two-level distributed prefix sum (no unpartitioned
+    window). Oracle = the same layout via a plain window cumsum."""
+    from miru_spark.operators.packing import pack_chunks
+    from miru_spark.operators.textstats import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = token_counts(d).select("id", "n_tokens")
+    return pack_chunks(toks, budget=512, id_col="id")
+
+
+_register(
+    "pack_sequences",
+    _q_pack_chunks,
+    """
+WITH d AS (
+  SELECT doc_id AS id,
+         len(regexp_extract_all(lower(text), '[a-z0-9'']+'))::BIGINT AS n
+  FROM documents
+),
+c AS (
+  SELECT id, n,
+         COALESCE(SUM(n) OVER (ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT id, n::INT AS n_tokens, start::BIGINT AS start,
+       (start // 512)::BIGINT AS seq_id,
+       (start % 512)::INT AS seq_off,
+       (CASE WHEN n > 0 THEN (start + n - 1) // 512
+             ELSE start // 512 END)::BIGINT AS seq_last
+FROM c
 """,
 )
 

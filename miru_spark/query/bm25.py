@@ -86,8 +86,37 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     return None
 
 
+def _page_pred(after: float | None, exclude):
+    """Keyset-pagination predicate over the (score desc, docint desc)
+    total order — the engine's resumable top-k.
+
+    The reference resumes scoring with the previous answer's lowest
+    score as a floor (``FullTextReport.lowestScore`` carried into
+    ``FullText.java:134`` and compared per-doc at ``FullText.java:203``).
+    Here the floor is ``round(score,4) <= round(after,4)`` — rounding is
+    monotone, so every true next-page row survives it — and exactness at
+    the tied boundary comes from ``exclude`` (the already-returned
+    docints; k·pages values, a broadcast-trivial IN list). The floor is
+    the pruning lever (drops the high-score mass before the sort), the
+    id list is the correctness lever.
+    """
+    pred = None
+    if after is not None:
+        pred = F.round(F.col("score"), 4) <= F.lit(round(float(after), 4))
+    if exclude:
+        c = ~F.col("docint").isin([int(d) for d in exclude])
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
 def _fused_search(
-    index: InvertedIndex, mode: str, leaves: list, k: int, ts_filter
+    index: InvertedIndex,
+    mode: str,
+    leaves: list,
+    k: int,
+    ts_filter,
+    after: float | None = None,
+    exclude=None,
 ) -> DataFrame:
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
     prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
@@ -137,6 +166,9 @@ def _fused_search(
     if index.tombstones is not None:
         # removal mask (reference MiruAggregateUtil.java:1140)
         agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
+    page = _page_pred(after, exclude)
+    if page is not None:
+        agg = agg.where(page)
     return (
         agg.orderBy(F.desc("score"), F.desc("docint"))
         .limit(k)
@@ -151,6 +183,8 @@ def search(
     ts_lo=None,
     ts_hi=None,
     strategy: str = "bm25",
+    after: float | None = None,
+    exclude=None,
 ) -> DataFrame:
     """Top-k search. Returns (conv_id, turn_idx, docint, score) ordered by
     (score desc, docint desc) [bm25] or (docint desc) [time].
@@ -159,6 +193,13 @@ def search(
     (``MiruBitmaps.buildTimeRangeMask``, miru-plugin/.../bitmap/
     MiruBitmaps.java:141) — here a plain ``ts BETWEEN`` predicate that
     parquet/Iceberg min-max stats turn into partition pruning.
+
+    ``after``/``exclude`` resume the top-k past a previous page: pass the
+    previous page's lowest score and its docints and the next k rows of
+    the same (score desc, docint desc) order come back — the reference's
+    ``FullTextReport.lowestScore`` carry-over floor (``FullText.java:134``)
+    as keyset pagination (see ``_page_pred``). For time strategy the
+    cursor is just ``exclude`` + the docint order.
     """
     node = parse_query(query) if isinstance(query, str) else query
 
@@ -174,7 +215,9 @@ def search(
     meta0 = index.docs.select("docint", "conv_id", "turn_idx")
     fused = _fusable(node) if strategy == "bm25" else None
     if fused is not None:
-        topk = _fused_search(index, fused[0], fused[1], k, ts_filter)
+        topk = _fused_search(
+            index, fused[0], fused[1], k, ts_filter, after=after, exclude=exclude
+        )
         return (
             topk.join(meta0, "docint")
             .orderBy(F.desc("score"), F.desc("docint"))
@@ -220,11 +263,10 @@ def search(
 
     if strategy == "time" or pred is None:
         # newest-k (FullText.collectTime) / pure-metadata queries: score 0
-        topk = (
-            matched.select("docint", F.lit(0.0).alias("score"))
-            .orderBy(F.desc("docint"))
-            .limit(k)
-        )
+        ranked = matched.select("docint", F.lit(0.0).alias("score"))
+        if exclude:
+            ranked = ranked.where(~F.col("docint").isin([int(d) for d in exclude]))
+        topk = ranked.orderBy(F.desc("docint")).limit(k)
         return _finish(topk)
 
     # broadcast the tiny per-query term-weight table (idf per term)
@@ -253,10 +295,14 @@ def search(
     )
     # matched docs with no positive term still answer, at score 0
     # (the reference scores the whole filtered answer set, FullText.java:139)
+    ranked = matched.join(contribs, "docint", "left").withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(0.0))
+    )
+    page = _page_pred(after, exclude)
+    if page is not None:
+        ranked = ranked.where(page)
     topk = (
-        matched.join(contribs, "docint", "left")
-        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
-        .orderBy(F.desc("score"), F.desc("docint"))
+        ranked.orderBy(F.desc("score"), F.desc("docint"))
         .limit(k)
         .select("docint", "score")
     )

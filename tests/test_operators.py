@@ -262,3 +262,63 @@ def test_simhash_pair_join_pigeonhole(documents):
     }
     assert got == exact
     assert len(exact) > 0
+
+
+def test_pack_chunks_layout(documents):
+    """Concat-and-chunk packing: offsets are a prefix sum in id order,
+    seq ids are consistent with the budget, and the distributed result
+    equals a single-threaded pandas recomputation."""
+    from miru_spark.operators.packing import pack_chunks
+    from miru_spark.operators.textstats import token_counts
+
+    budget = 512
+    toks = token_counts(documents).select("id", "n_tokens")
+    got = (
+        pack_chunks(toks, budget=budget, id_col="id")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = toks.toPandas().sort_values("id").reset_index(drop=True)
+    starts = exp["n_tokens"].cumsum().shift(1, fill_value=0).astype("int64")
+    assert got["start"].tolist() == starts.tolist()
+    assert (got["seq_id"] == got["start"] // budget).all()
+    assert (got["seq_off"] == got["start"] % budget).all()
+    nz = got[got["n_tokens"] > 0]
+    assert (
+        nz["seq_last"] == (nz["start"] + nz["n_tokens"] - 1) // budget
+    ).all()
+    # a doc never ends before it starts
+    assert (got["seq_last"] >= got["seq_id"]).all()
+
+
+def test_pack_greedy_invariants(documents):
+    """No-split greedy packing: every pack fits the budget (unless a
+    single doc exceeds it), packs are contiguous in id order within a
+    group, and every doc is packed exactly once."""
+    from miru_spark.operators.packing import pack_greedy
+    from miru_spark.operators.textstats import token_counts
+
+    budget = 900
+    toks = token_counts(documents).select("id", "n_tokens").withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+    got = pack_greedy(
+        toks, budget=budget, group_col="grp", id_col="id"
+    ).toPandas()
+    assert len(got) == toks.count()  # every doc packed once
+    sizes = got.groupby(["group", "pack_idx"])["n_tokens"].sum()
+    singles = got.groupby(["group", "pack_idx"])["n_tokens"].count()
+    over = sizes[sizes > budget]
+    # an over-budget pack is only ever a single over-long doc
+    assert (singles.loc[over.index] == 1).all()
+    for (_, _), sub in got.groupby(["group", "pack_idx"]):
+        sub = sub.sort_values("id")
+        offs = sub["n_tokens"].cumsum().shift(1, fill_value=0)
+        assert sub["pack_off"].tolist() == offs.tolist()
+    # pack indices contiguous from 0 and non-decreasing in id order
+    for _, sub in got.groupby("group"):
+        sub = sub.sort_values("id")
+        pk = sub["pack_idx"].tolist()
+        assert pk[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(pk, pk[1:]))

@@ -102,3 +102,39 @@ def test_shuffle_partition_invariance(spark, small_turns, small_pdf):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     exp = PandasIndex(small_pdf).search("w00001 AND w00004", k=10)
     _assert_rank_identical(got, exp, "shuffle-invariance")
+
+
+def test_paging_resumable_topk(built):
+    """Keyset paging (search(after=..., exclude=...)): three pages of k
+    concatenate to exactly the single-shot top-3k, disjoint and in the
+    same (score desc, docint desc) order — the reference's lowestScore
+    carry-over floor (FullText.java:134,203) as resumable top-k."""
+    idx, _ = built
+    k = 7
+    single = search(idx, "w00003 OR w09999", k=3 * k).toPandas()
+    pages, seen, floor = [], [], None
+    for _ in range(3):
+        page = search(
+            idx, "w00003 OR w09999", k=k, after=floor, exclude=list(seen)
+        ).toPandas()
+        if page.empty:
+            break
+        pages.append(page)
+        seen.extend(page["docint"].tolist())
+        floor = float(page["score"].iloc[-1])
+    import pandas as pd
+
+    got = pd.concat(pages, ignore_index=True)
+    assert len(set(seen)) == len(seen), "pages overlap"
+    assert got["docint"].tolist() == single["docint"].tolist()[: len(got)]
+    assert (got["score"].values - single["score"].values[: len(got)] == 0).all()
+
+
+def test_paging_time_strategy(built):
+    idx, _ = built
+    single = search(idx, "w00000", k=20, strategy="time").toPandas()
+    p1 = search(idx, "w00000", k=10, strategy="time").toPandas()
+    p2 = search(
+        idx, "w00000", k=10, strategy="time", exclude=p1["docint"].tolist()
+    ).toPandas()
+    assert p1["docint"].tolist() + p2["docint"].tolist() == single["docint"].tolist()
