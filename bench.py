@@ -112,7 +112,8 @@ def main() -> None:
                  "analyze_locale", "waveform_delta", "knn_cosine_ivf",
                  "dedup_components", "hash_split_docs",
                  "stratified_sample_lang", "ft_bm25_page2",
-                 "pack_sequences"]:
+                 "pack_sequences", "text_ngram_repetition",
+                 "text_bpe_tokens"]:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

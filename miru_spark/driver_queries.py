@@ -237,6 +237,23 @@ _register(
 )
 
 
+_register(
+    # pure-NOT query: the inclusiveFilter seed path (reference
+    # MiruAggregateUtil.java — a NOT with no positive sibling seeds the
+    # answer from the full index mask, here the docs relation). Scores
+    # are zero (no positive term), order = docint desc.
+    "ft_bm25_purenot",
+    _ft("NOT spark", k=10),
+    f"""{SQL_PRELUDE}
+SELECT dl.conv_id, dl.turn_idx, dl.docint, ROUND(0.0, 4) AS score
+FROM dl
+WHERE dl.docint NOT IN (SELECT docint FROM post WHERE term = 'spark')
+ORDER BY dl.docint DESC
+LIMIT 10
+""",
+)
+
+
 def _q_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable top-k paging: page 1's lowest score + docints become the
     keyset cursor for page 2 (reference FullTextReport.lowestScore
@@ -1293,6 +1310,78 @@ SELECT doc_id AS id, len(t)::INT AS n_tokens,
        len(list_distinct(t))::INT AS n_unique_tokens,
        length({_NORM})::INT AS n_chars_norm
 FROM tok
+""",
+)
+
+
+def _q_ngram_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram quality signals over documents."""
+    from miru_spark.operators.textstats import ngram_repetition
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_repetition(d, n=3)
+
+
+_register(
+    "text_ngram_repetition",
+    _q_ngram_rep,
+    """
+WITH d AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+g AS (
+  SELECT id,
+         list_transform(range(len(t) - 2),
+                        i -> array_to_string(t[i + 1:i + 3], ' ')) AS gs
+  FROM d WHERE len(t) >= 3
+),
+e AS (SELECT id, unnest(gs) AS gram FROM g),
+gd AS (SELECT gram, COUNT(DISTINCT id) AS gdf FROM e GROUP BY 1),
+pd AS (
+  SELECT e.id, COUNT(*) AS n_ngrams, COUNT(DISTINCT e.gram) AS n_distinct,
+         SUM(CASE WHEN gd.gdf > 1 THEN 1 ELSE 0 END) AS n_crossdup
+  FROM e JOIN gd USING (gram) GROUP BY 1
+)
+SELECT d.id,
+       COALESCE(pd.n_ngrams, 0)::INT AS n_ngrams,
+       COALESCE(pd.n_distinct, 0)::INT AS n_distinct,
+       CASE WHEN COALESCE(pd.n_ngrams, 0) > 0
+            THEN ROUND(1.0 - pd.n_distinct / pd.n_ngrams::DOUBLE, 4)
+            ELSE 0.0 END AS rep_ratio,
+       CASE WHEN COALESCE(pd.n_ngrams, 0) > 0
+            THEN ROUND(pd.n_crossdup / pd.n_ngrams::DOUBLE, 4)
+            ELSE 0.0 END AS cross_dup_frac
+FROM d LEFT JOIN pd USING (id)
+""",
+)
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting over documents."""
+    from miru_spark.operators.textstats import bpe_token_estimate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_estimate(d)
+
+
+_register(
+    "text_bpe_tokens",
+    _q_bpe_tokens,
+    """
+WITH c AS (
+  SELECT doc_id AS id,
+         len(regexp_extract_all(text, '[^ ]+'))::INT AS n_ws_tokens,
+         len(regexp_extract_all(lower(text),
+             '''[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 '']+| +'))::INT
+           AS n_bpe_pieces
+  FROM documents
+)
+SELECT id, n_ws_tokens, n_bpe_pieces,
+       CASE WHEN n_ws_tokens > 0
+            THEN ROUND(n_bpe_pieces / n_ws_tokens::DOUBLE, 4)
+            ELSE 0.0 END AS pieces_per_word
+FROM c
 """,
 )
 

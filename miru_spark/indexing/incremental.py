@@ -59,6 +59,11 @@ import threading
 _MANIFEST_LOCK = threading.Lock()
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A requested store snapshot has been rewritten by compaction
+    (the Iceberg expire_snapshots contract)."""
+
+
 def _align_block(local_id: int) -> int:
     """Round a writer cursor up to the next block boundary so a
     (term, block_id) group never spans two segment units — the property
@@ -403,8 +408,66 @@ class SegmentStore:
             )
         return out
 
-    def load(self) -> InvertedIndex:
-        units = self.live_units()
+    def snapshot_id(self) -> int:
+        """Current snapshot id = manifest length. Every committed unit
+        (build, append or merge) advances it by one; pass a saved value
+        to ``load(as_of=...)`` to read the store as of that commit —
+        Iceberg-style snapshot isolation over the manifest log."""
+        return len(self.manifest())
+
+    def _units_as_of(self, prefix: list[dict]) -> list[str]:
+        """Unit dirs reconstructing exactly the manifest ``prefix``.
+
+        A merge rewrites history (its delta sources are deleted after
+        commit), so a snapshot older than the newest merge of a shard
+        may be unreconstructable — that is snapshot EXPIRATION, the same
+        contract as Iceberg's expire_snapshots; we raise
+        ``SnapshotExpiredError`` rather than silently serving newer data.
+        """
+        want: dict[int, list[int]] = {}
+        for e in prefix:
+            if "merged_from" not in e:
+                want.setdefault(e["shard"], []).append(e["delta"])
+        out = []
+        for s, deltas in sorted(want.items()):
+            dk = max(deltas)
+            names = self._live_shard_units(s)
+            merged = [n for n in names if n.startswith("merged_")]
+            m = self._unit_index(merged[0]) if merged else -1
+            if m > dk:
+                raise SnapshotExpiredError(
+                    f"shard {s}: merged_{m:04d} supersedes snapshot delta "
+                    f"{dk} (snapshot expired by compaction)"
+                )
+            have = {
+                self._unit_index(n) for n in names if n.startswith("delta_")
+            }
+            chosen = list(merged)
+            for d in sorted(deltas):
+                if d <= m:
+                    continue  # inside the merged unit
+                if d not in have:
+                    raise SnapshotExpiredError(
+                        f"shard {s}: delta_{d:04d} no longer on disk"
+                    )
+                chosen.append(f"delta_{d:04d}")
+            sdir = os.path.join(self.path, f"shard={s}")
+            out.extend(
+                os.path.join(sdir, n)
+                for n in sorted(chosen, key=self._unit_index)
+            )
+        return out
+
+    def load(self, as_of: int | None = None) -> InvertedIndex:
+        """Serving handle over the live store, or — with ``as_of`` — over
+        the store as of an earlier :meth:`snapshot_id` (raises
+        ``SnapshotExpiredError`` if compaction has rewritten it)."""
+        man = self.manifest()
+        if as_of is not None:
+            man = man[: int(as_of)]
+            units = self._units_as_of(man)
+        else:
+            units = self.live_units()
         if not units:
             raise RuntimeError("no segments built")
         post = self.spark.read.parquet(*[f"{u}/postings" for u in units])
@@ -420,10 +483,8 @@ class SegmentStore:
                 F.max("max_docint").alias("max_docint"),
             )
         )
-        n_docs = sum(e["n_turns"] for e in self.manifest() if "merged_from" not in e)
-        sum_dl = sum(
-            e["sum_doclen"] for e in self.manifest() if "merged_from" not in e
-        )
+        n_docs = sum(e["n_turns"] for e in man if "merged_from" not in e)
+        sum_dl = sum(e["sum_doclen"] for e in man if "merged_from" not in e)
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
         blocks = None
         if all(os.path.isdir(os.path.join(u, "blocks")) for u in units):

@@ -133,3 +133,101 @@ def doc_fingerprints(
         F.md5(norm).alias("fp_md5"),
         md5_long(norm).alias("fp_long"),
     )
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-n-gram quality signals (the Gopher/RefinedWeb filter
+    family): per doc,
+
+    - ``n_ngrams`` / ``n_distinct`` — total and distinct token n-grams,
+    - ``rep_ratio`` — within-doc repetition, ``1 - distinct/total``,
+    - ``cross_dup_frac`` — fraction of the doc's n-gram occurrences
+      whose n-gram also appears in at least one OTHER document.
+
+    Scale shape: explode to (doc, gram) rows — same row count as the
+    postings build — one groupBy(gram) for corpus df (uniform hash key,
+    map-side combine) and one groupBy(id) for the per-doc rollup. No
+    pairwise joins; entirely JVM-side column expressions.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    grams = base.select(
+        "id",
+        F.when(
+            F.size("t") >= n,
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}), "
+                f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    exploded = grams.select("id", F.explode("g").alias("gram"))
+    # corpus document frequency per gram: how many docs contain it
+    gdf = exploded.groupBy("gram").agg(F.count_distinct("id").alias("gdf"))
+    per_doc = (
+        exploded.join(gdf, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count_distinct("gram").alias("n_distinct"),
+            F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0)).alias("n_crossdup"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("int").alias("n_ngrams"),
+            F.coalesce("n_distinct", F.lit(0)).cast("int").alias("n_distinct"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    1.0 - F.col("n_distinct") / F.col("n_ngrams").cast("double"), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_crossdup") / F.col("n_ngrams").cast("double"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cross_dup_frac"),
+        )
+    )
+
+
+# GPT-2-flavored piece splitter (ASCII subset, engine-portable: the same
+# pattern compiles identically under Java regex, RE2/DuckDB and Python):
+# contractions, space-prefixed words/numbers, punctuation runs, spaces.
+BPE_REGEX = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+| +"
+
+
+def bpe_token_estimate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_pieces, pieces_per_word) — whitespace
+    token count plus a BPE-ish piece count (the brief's 'whitespace + a
+    BPE-ish regex'). ``pieces_per_word`` approximates the token-inflation
+    factor a real BPE vocabulary would report; all JVM-side regex, no
+    Python in the path."""
+    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
+    pieces = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), \"{BPE_REGEX}\", 0)")
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        ws.cast("int").alias("n_ws_tokens"),
+        pieces.cast("int").alias("n_bpe_pieces"),
+        F.when(ws > 0, F.round(pieces / ws.cast("double"), 4))
+        .otherwise(0.0)
+        .alias("pieces_per_word"),
+    )

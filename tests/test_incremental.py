@@ -164,3 +164,31 @@ def test_concurrent_shard_build_equivalent(spark, tiny_turns, tiny_pdf, tmp_path
     assert sorted(zip(ga["conv_id"], ga["turn_idx"])) == sorted(
         zip(gb["conv_id"], gb["turn_idx"])
     )
+
+
+def test_snapshot_as_of(spark, tiny_turns, tiny_pdf, tmp_path):
+    """Snapshot reads over the manifest log: load(as_of=snap) returns the
+    pre-append state; compaction expires older snapshots with a clear
+    error instead of silently serving newer data."""
+    from miru_spark.indexing.incremental import SnapshotExpiredError
+
+    half1 = tiny_turns.where("conv_id < 'conv00000050'")
+    store = _store(spark, tmp_path / "snap")
+    store.build(half1)
+    snap1 = store.snapshot_id()
+    n1 = store.load().n_docs
+    store.append(tiny_turns)
+    assert store.load().n_docs == len(tiny_pdf)
+    # time travel: as-of snap1 still sees only the first half
+    old = store.load(as_of=snap1)
+    assert old.n_docs == n1
+    assert old.docs.count() == n1
+    # after compaction the old snapshot is expired, the head still loads
+    for s in range(N_SHARDS):
+        store.merge_shard(s)
+    assert store.load().n_docs == len(tiny_pdf)
+    assert store.load(as_of=store.snapshot_id()).n_docs == len(tiny_pdf)
+    import pytest as _pytest
+
+    with _pytest.raises(SnapshotExpiredError):
+        store.load(as_of=snap1).docs.count()

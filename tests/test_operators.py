@@ -322,3 +322,60 @@ def test_pack_greedy_invariants(documents):
         pk = sub["pack_idx"].tolist()
         assert pk[0] == 0
         assert all(b - a in (0, 1) for a, b in zip(pk, pk[1:]))
+
+
+def test_ngram_repetition_signals(documents, spark):
+    """Duplicate-n-gram quality signals: ratio bounds, and a corpus of
+    one doc repeated twice drives cross_dup_frac to 1.0 while a
+    singleton all-unique doc stays at 0.0."""
+    from miru_spark.operators.textstats import ngram_repetition
+
+    got = ngram_repetition(documents, n=3).toPandas()
+    assert len(got) == documents.count()
+    assert got["rep_ratio"].between(0, 1).all()
+    assert got["cross_dup_frac"].between(0, 1).all()
+    assert (got.loc[got["n_ngrams"] == 0, "rep_ratio"] == 0).all()
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    t = (
+        ngram_repetition(tiny, n=3)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert t.loc[1, "cross_dup_frac"] == 1.0  # twin doc: every gram shared
+    assert t.loc[2, "cross_dup_frac"] == 1.0
+    assert t.loc[3, "cross_dup_frac"] == 0.0  # unique doc: nothing shared
+    assert (t["rep_ratio"] == 0.0).all()  # no within-doc repeats
+
+
+def test_bpe_token_estimate(spark):
+    """BPE-ish piece count: contractions split, punctuation runs are one
+    piece, and pieces_per_word >= 1 whenever words exist."""
+    from miru_spark.operators.textstats import bpe_token_estimate
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "don't stop"),
+            (2, "hello world!!!"),
+            (3, "x2 tokens123 mix"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = bpe_token_estimate(tiny).toPandas().set_index("id").sort_index()
+    # don't -> don / 't ; stop -> _stop  => 3 pieces, 2 ws tokens
+    assert got.loc[1, "n_ws_tokens"] == 2 and got.loc[1, "n_bpe_pieces"] == 3
+    # hello world!!! -> hello / _world / !!!  => 3 pieces
+    assert got.loc[2, "n_bpe_pieces"] == 3
+    # x2 -> x / 2 ; tokens123 -> _tokens / 123 ; mix -> _mix => 5
+    assert got.loc[3, "n_bpe_pieces"] == 5
+    assert got.loc[4, "n_ws_tokens"] == 0 and got.loc[4, "pieces_per_word"] == 0.0
+    assert (got.loc[got["n_ws_tokens"] > 0, "pieces_per_word"] >= 1).all()
