@@ -20,6 +20,13 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--ts-lo", default=None)
     ap.add_argument("--ts-hi", default=None)
+    ap.add_argument(
+        "--as-of",
+        type=int,
+        default=None,
+        help="serve a store snapshot (a saved SegmentStore.snapshot_id); "
+        "errors if compaction has expired it",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -28,7 +35,9 @@ def main() -> None:
     from miru_spark.session import get_spark
 
     spark = get_spark("miru_query", master=args.master)
-    idx = SegmentStore(spark, args.index, n_shards=args.shards).load()
+    idx = SegmentStore(spark, args.index, n_shards=args.shards).load(
+        as_of=args.as_of
+    )
     out = search(
         idx,
         args.query,

@@ -107,6 +107,34 @@ def main() -> None:
             search_blocks_or(idx, ["hash", "merge"], k=10),
         )
     )
+    sections.append(
+        (
+            "Keyset-paged BM25 (page 2: score floor + seen-id filter)",
+            "The cursor predicate lands BETWEEN the aggregation and the "
+            "TakeOrdered heap — page-1's mass is filtered before the "
+            "sort, and the plan stays index-only (no corpus scan, no "
+            "OFFSET-style full re-rank).",
+            search(idx, "hash OR merge", k=10, after=0.5, exclude=[1, 2, 3]),
+        )
+    )
+    from miru_spark.operators.packing import pack_chunks
+    from miru_spark.operators.textstats import token_counts
+
+    docs_tbl = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sections.append(
+        (
+            "Sequence packing (concat-and-chunk prefix sum)",
+            "Two-level prefix sum: the ONLY window is partitioned by "
+            "_pid (no `Window.orderBy` without partitioning anywhere); "
+            "partition base offsets arrive via a broadcast join of a "
+            "P-row relation.",
+            pack_chunks(
+                token_counts(docs_tbl).select("id", "n_tokens"),
+                budget=512,
+                id_col="id",
+            ),
+        )
+    )
 
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
