@@ -1,0 +1,54 @@
+"""spark-submit entrypoint: the five-stage training-data pipeline.
+
+    spark-submit --py-files miru_spark.zip jobs/prepare_training_data.py \
+        --input /data/documents --output /data/prepared \
+        --budget 2048 [--quality-min 0.47] [--rep-max 0.5] \
+        [--jaccard 0.5] [--salt v1]
+
+Reads a documents parquet (doc_id, text, ...), runs quality/repetition
+gates → exact dedup → near-dup components → hashed split → per-split
+chunk packing (miru_spark/pipeline.py), writes the packed layout
+partitioned by split, and prints one JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", required=True, help="output dir (parquet)")
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--quality-min", type=float, default=0.47)
+    ap.add_argument("--rep-max", type=float, default=0.5)
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--salt", default="v1")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from miru_spark.pipeline import prepare_training_data
+    from miru_spark.session import get_spark
+
+    spark = get_spark("miru_prepare", master=args.master)
+    docs = spark.read.parquet(args.input)
+    packed, metrics = prepare_training_data(
+        docs,
+        budget=args.budget,
+        quality_min=args.quality_min,
+        rep_max=args.rep_max,
+        jaccard=args.jaccard,
+        salt=args.salt,
+        collect_metrics=True,
+    )
+    packed.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

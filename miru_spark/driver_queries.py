@@ -1158,6 +1158,146 @@ FROM documents
 _register("hash_split_docs", _q_hash_split, _hash_split_sql())
 
 
+def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage training-data pipeline end-to-end
+    (miru_spark/pipeline.py): quality/repetition gates → exact dedup →
+    near-dup components → hashed split → per-split chunk packing. The
+    oracle replays ALL five stages in one DuckDB statement over the
+    same parquet — a single hash row certifying the whole composition,
+    not just each operator in isolation."""
+    from miru_spark.pipeline import prepare_training_data
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed, _ = prepare_training_data(
+        d, budget=512, quality_min=0.47, rep_max=0.5, jaccard=0.5
+    )
+    return packed
+
+
+def _pipeline_sql() -> str:
+    from miru_spark.operators.sampling import duckdb_bucket
+
+    b = duckdb_bucket("doc_id", "v1")
+    return f"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+         lower(text) AS low
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
+         ROUND(len(list_filter(t, x -> list_contains(
+             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+             / greatest(len(t), 1), 4) AS stop_ratio,
+         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
+             / greatest(length(low), 1), 4) AS alnum_ratio
+  FROM tok
+),
+quality AS (
+  SELECT doc_id,
+         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
+  FROM qm
+),
+g AS (
+  SELECT doc_id AS id,
+         list_transform(range(len(t) - 2),
+                        i -> array_to_string(t[i + 1:i + 3], ' ')) AS gs
+  FROM tok WHERE len(t) >= 3
+),
+e AS (SELECT id, unnest(gs) AS gram FROM g),
+eo AS (SELECT id, gram, COUNT(*) AS occ FROM e GROUP BY 1, 2),
+pdk AS (SELECT id, SUM(occ) AS n_ngrams, COUNT(*) AS n_distinct FROM eo GROUP BY 1),
+rep AS (
+  SELECT d.doc_id,
+         CASE WHEN COALESCE(pdk.n_ngrams, 0) > 0
+              THEN ROUND(1.0 - pdk.n_distinct / pdk.n_ngrams::DOUBLE, 4)
+              ELSE 0.0 END AS rep_ratio
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN pdk ON pdk.id = d.doc_id
+),
+f1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN quality USING (doc_id) JOIN rep USING (doc_id)
+  WHERE quality.q >= 0.47 AND rep.rep_ratio <= 0.5
+),
+fp AS (
+  SELECT doc_id, {_MD5L.format(x=_NORM)} AS fp FROM f1
+),
+keepx AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+f2 AS (SELECT f1.* FROM f1 JOIN keepx USING (doc_id)),
+t2 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t FROM f2
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS shingle
+  FROM t2
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes za ON za.id = s.id_a
+  JOIN sizes zb ON zb.id = s.id_b
+  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
+),
+canon AS (SELECT id, LEAST(id, MIN(lbl)) AS canonical FROM reach GROUP BY id),
+f3 AS (
+  SELECT f2.doc_id, f2.text FROM f2
+  LEFT JOIN canon ON canon.id = f2.doc_id
+  WHERE canon.id IS NULL OR canon.canonical = f2.doc_id
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {b} < 9000 THEN 'train'
+              WHEN {b} < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_extract_all(lower(text), '[a-z0-9'']+'))::BIGINT AS n
+  FROM f3
+),
+c AS (
+  SELECT split, doc_id AS id, n,
+         COALESCE(SUM(n) OVER (PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM sp
+)
+SELECT split, id, n::INT AS n_tokens, start::BIGINT AS start,
+       (start // 512)::BIGINT AS seq_id,
+       (start % 512)::INT AS seq_off,
+       (CASE WHEN n > 0 THEN (start + n - 1) // 512
+             ELSE start // 512 END)::BIGINT AS seq_last
+FROM c
+"""
+
+
+_register("pipeline_prepare", _q_pipeline, _pipeline_sql())
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic down-sampling to rebalance the corpus
     mix (keep all zh, half of en, a quarter of everything else)."""

@@ -39,43 +39,65 @@ def pack_chunks(
     budget: int,
     id_col: str = "doc_id",
     n_tokens_col: str = "n_tokens",
+    part_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: (id, n_tokens, start, seq_id, seq_off,
-    seq_last) where ``start`` is the document's offset in the global
-    token stream ordered by ``id_col`` and ``seq_id = start div budget``.
+    seq_last) where ``start`` is the document's offset in the token
+    stream ordered by ``id_col`` and ``seq_id = start div budget``.
+
+    ``part_cols`` (e.g. ``["split"]``) resets the stream per partition
+    value — each split packs independently from offset 0, which is what
+    a train/val/test layout needs. The partition columns pass through to
+    the output.
 
     Scale note: the prefix sum is over the full doc relation, which is
     unavoidable for chunk packing (every doc needs its global offset),
-    but it is two-level — the only global step is a P-row collect of
-    per-partition totals.
+    but it is two-level — the only global step is a collect of
+    per-(physical-partition, part-value) totals: P × |part values| rows.
     """
     spark = docs.sparkSession
+    parts = list(part_cols or [])
     base = docs.select(
-        F.col(id_col).alias("id"), F.col(n_tokens_col).cast("long").alias("n_tokens")
+        *[F.col(c).cast("string").alias(c) for c in parts],
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
     )
     p = max(spark.sparkContext.defaultParallelism, 2)
     local = (
-        base.repartitionByRange(p, "id")
+        base.repartitionByRange(p, *parts, "id")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *parts)
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
-    acc = 0
+    totals = (
+        local.groupBy("_pid", *parts).agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    # cumulate totals per part-value across pids (driver-side: one tiny
+    # row per (pid, part) — the range partitioner keeps a part's pids
+    # contiguous, but correctness only needs the pid order)
+    acc: dict[tuple, int] = {}
     bases = []
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        bases.append((int(r["_pid"]), acc))
-        acc += int(r["_t"])
+    for r in sorted(totals, key=lambda r: (tuple(r[c] for c in parts), r["_pid"])):
+        key = tuple(r[c] for c in parts)
+        bases.append((*key, int(r["_pid"]), acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + int(r["_t"])
+    schema = (
+        ", ".join(f"{c} string" for c in parts)
+        + (", " if parts else "")
+        + "_pid int, _base long"
+    )
     base_df = F.broadcast(
-        spark.createDataFrame(bases or [(0, 0)], "_pid int, _base long")
+        spark.createDataFrame(
+            bases or [tuple([""] * len(parts)) + (0, 0)], schema
+        )
     )
     out = (
         local.withColumn("_loff", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .join(base_df, "_pid")
+        .join(base_df, ["_pid", *parts])
         .withColumn("start", (F.col("_loff") + F.col("_base")).cast("long"))
         .withColumn("seq_id", F.expr(f"start div {int(budget)}"))
         .withColumn("seq_off", (F.col("start") % int(budget)).cast("int"))
@@ -86,7 +108,7 @@ def pack_chunks(
                 F.expr(f"(start + n_tokens - 1) div {int(budget)}"),
             ).otherwise(F.col("seq_id")),
         )
-        .select("id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        .select(*parts, "id", F.col("n_tokens").cast("int").alias("n_tokens"),
                 "start", "seq_id", "seq_off", "seq_last")
     )
     return out

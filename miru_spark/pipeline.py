@@ -1,0 +1,131 @@
+"""End-to-end training-data preparation pipeline.
+
+Chains the corpus-preparation operators into the job a 100 TB
+pretraining pipeline actually runs, in the canonical order:
+
+1. **Quality gate** — drop docs below a composite quality floor
+   (``textstats.quality_scores``) or above a duplicate-n-gram
+   repetition ceiling (``textstats.ngram_repetition``).
+2. **Exact dedup** — one survivor (min id) per normalized-text
+   fingerprint (``dedup.fingerprint``).
+3. **Near dedup** — n-gram Jaccard candidate pairs over the exact-level
+   survivors, connected components over the pair graph, keep only each
+   cluster's canonical doc (``components.dedup_corpus``).
+4. **Split** — deterministic hashed-id train/val/test assignment
+   (``sampling.hash_split``; stable under corpus growth and layout).
+5. **Pack** — concat-and-chunk sequence layout per split
+   (``packing.pack_chunks(part_cols=["split"])``), each split's token
+   stream starting at offset 0.
+
+Every stage is deterministic (id-ordered, hash-keyed), so the whole
+pipeline is reproducible run-to-run and oracle-checkable end-to-end —
+the driver query ``pipeline_prepare`` replays ALL five stages in one
+DuckDB SQL statement and hash-compares the final packed layout.
+
+Scale shape: stages 1-3 are the operators' own scale-safe plans
+(shingle equi-join with the df cap, no crossJoin, label propagation in
+O(log d) rounds); stage 4 is a stateless column expression; stage 5's
+only coordination is the P×|splits|-row totals collect. Nothing here
+collects doc rows to the driver.
+
+Reference analog: none (Miru predates LLM pipelines) — this is the
+brief's training-data mandate composed from the §2-extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    budget: int = 512,
+    quality_min: float = 0.3,
+    rep_max: float = 0.5,
+    jaccard: float = 0.5,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collect_metrics: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Run the five-stage pipeline; returns (packed, metrics).
+
+    ``packed`` columns: (split, id, n_tokens, start, seq_id, seq_off,
+    seq_last) — one row per surviving doc with its packed position.
+    ``metrics`` holds per-stage doc counts when ``collect_metrics``
+    (each count is one extra job; leave off inside larger plans).
+    """
+    from miru_spark.operators.components import dedup_corpus
+    from miru_spark.operators.dedup import fingerprint, ngram_jaccard_pairs
+    from miru_spark.operators.packing import pack_chunks
+    from miru_spark.operators.sampling import hash_split
+    from miru_spark.operators.textstats import (
+        ngram_repetition,
+        quality_scores,
+        token_counts,
+    )
+
+    metrics: dict = {}
+    if collect_metrics:
+        metrics["docs_in"] = docs.count()
+
+    # 1. quality + repetition gates (semi-joins on the id — the doc
+    # relation passes through untouched, no wide columns duplicated)
+    good_q = (
+        quality_scores(docs, id_col, text_col)
+        .where(F.col("quality") >= quality_min)
+        .select(F.col("id").alias(id_col))
+    )
+    good_r = (
+        ngram_repetition(docs, 3, id_col, text_col)
+        .where(F.col("rep_ratio") <= rep_max)
+        .select(F.col("id").alias(id_col))
+    )
+    filtered = docs.join(good_q, id_col, "left_semi").join(
+        good_r, id_col, "left_semi"
+    )
+    if collect_metrics:
+        filtered = filtered.persist()
+        metrics["docs_after_quality"] = filtered.count()
+
+    # 2. exact dedup: min id per fingerprint
+    keep_exact = (
+        fingerprint(filtered, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact = filtered.join(keep_exact, id_col, "left_semi")
+    if collect_metrics:
+        exact = exact.persist()
+        metrics["docs_after_exact_dedup"] = exact.count()
+
+    # 3. near dedup: pair graph -> components -> canonical survivors
+    pairs = ngram_jaccard_pairs(exact, k=3, threshold=jaccard,
+                                id_col=id_col, text_col=text_col)
+    deduped = dedup_corpus(exact, pairs, id_col=id_col)
+    if collect_metrics:
+        deduped = deduped.persist()
+        metrics["docs_after_near_dedup"] = deduped.count()
+
+    # 4. deterministic split, 5. per-split chunk packing
+    split = hash_split(deduped, weights, salt=salt, id_col=id_col)
+    toks = token_counts(split, id_col, text_col).select("id", "n_tokens")
+    packed = pack_chunks(
+        split.select(F.col(id_col).alias("id"), "split").join(toks, "id"),
+        budget=budget,
+        id_col="id",
+        part_cols=["split"],
+    )
+    if collect_metrics:
+        packed = packed.persist()
+        metrics["splits"] = {
+            r["split"]: r["n"]
+            for r in packed.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        metrics["total_tokens"] = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    return packed, metrics
