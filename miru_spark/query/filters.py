@@ -94,6 +94,8 @@ class FilterEvaluator:
     def _eval(self, node: Node) -> DataFrame:
         if _is_text_leaf(node):
             return self._text_leaves_any([node])
+        if isinstance(node, Range) and node.field == DEFAULT_FIELD:
+            return self._text_numeric_range(node)
         if isinstance(node, (Term, Prefix, Range, AuthzAny)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
@@ -109,6 +111,27 @@ class FilterEvaluator:
 
     def _meta_leaf(self, leaf) -> DataFrame:
         return self.index.docs.where(_meta_pred(leaf)).select("docint")
+
+    def _text_numeric_range(self, leaf: Range) -> DataFrame:
+        """Numeric-token term range (``text:[100 TO 250]``): docs with
+        any NUMERIC token whose value falls in the range — the
+        reference's numeric-lex term scan (``MiruTermComposer.java:
+        35-119`` encodes numbers as lex-ordered term bytes and range-
+        scans the term dictionary; exercised by the fulltext test's
+        numeric ``obj`` field, ``MiruFullTextNGTest.java:52-60``). Here
+        the term dictionary is the postings ``term`` column: try_cast
+        marks numeric terms (null-safe under ANSI mode) and the bounds
+        compare numerically, so '007' matches [5 TO 10] exactly as the
+        reference's value encoding would."""
+        t = F.expr("try_cast(term AS BIGINT)")
+        pred = t.isNotNull()
+        if leaf.lo is not None:
+            lo = int(leaf.lo)
+            pred = pred & ((t >= lo) if leaf.lo_inc else (t > lo))
+        if leaf.hi is not None:
+            hi = int(leaf.hi)
+            pred = pred & ((t <= hi) if leaf.hi_inc else (t < hi))
+        return self.index.postings.where(pred).select("docint").distinct()
 
     def _text_leaves_any(self, leaves: list) -> DataFrame:
         """OR of text leaves as ONE postings scan (fused isin/prefix)."""
@@ -171,6 +194,20 @@ def row_predicate(node: Node, tokens: Column) -> Column:
         if isinstance(node, Term):
             return F.array_contains(tokens, node.value)
         return F.exists(tokens, lambda t: t.startswith(node.value))
+    if isinstance(node, Range) and node.field == DEFAULT_FIELD:
+        # numeric-token range against THIS row's token array
+        def _in_range(t):
+            v = t.try_cast("bigint")
+            pred = v.isNotNull()
+            if node.lo is not None:
+                lo = int(node.lo)
+                pred = pred & ((v >= lo) if node.lo_inc else (v > lo))
+            if node.hi is not None:
+                hi = int(node.hi)
+                pred = pred & ((v <= hi) if node.hi_inc else (v < hi))
+            return pred
+
+        return F.exists(tokens, _in_range)
     if isinstance(node, (Term, Prefix, Range, AuthzAny)):
         return _meta_pred(node)
     if isinstance(node, And):

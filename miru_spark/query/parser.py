@@ -123,7 +123,12 @@ class _Parser:
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")
-            if f in METADATA_FIELDS or f in RANGE_FIELDS or f == AUTHZ_FIELD:
+            if (
+                f in METADATA_FIELDS
+                or f in RANGE_FIELDS
+                or f == AUTHZ_FIELD
+                or f == DEFAULT_FIELD
+            ):
                 field, t = f, rest
         if field == AUTHZ_FIELD:
             # MiruAuthzExpression: comma-separated any-of values
@@ -131,7 +136,10 @@ class _Parser:
             if not vals:
                 raise QueryParseError("authz: needs at least one value")
             return AuthzAny(vals)
-        if field in RANGE_FIELDS:
+        if field in RANGE_FIELDS or field == DEFAULT_FIELD:
+            # text:[lo TO hi] = numeric-token term range (the reference's
+            # numeric-lex term scan, MiruTermComposer.java:35-119);
+            # typed-field ranges stay plain column predicates
             rng = self._maybe_range(field, t)
             if rng is not None:
                 return rng

@@ -3,6 +3,7 @@
 default-AND, OR, NOT→pButNotQ, field:term, trailing-* prefix, parens."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from miru_spark.query.ast import And, Not, Or, Prefix, Term
 from miru_spark.query.parser import QueryParseError, parse_query
@@ -97,3 +98,53 @@ def test_range_and_authz_syntax():
         parse_query("turn_idx:[1 TO")
     with pytest.raises(QueryParseError):
         parse_query("authz:")
+
+
+def test_text_numeric_range_end_to_end(spark):
+    """text:[lo TO hi] matches docs containing a NUMERIC token in the
+    range, numerically ('007' matches [5 TO 10]) — the reference's
+    numeric-lex term scan (MiruTermComposer.java:35-119) over the
+    postings term dictionary."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+
+    rows = [
+        ("c0", 0, "user", "error code 99 seen", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "assistant", "retry after 150 ms", None, "2024-01-01 00:00:01"),
+        ("c1", 0, "user", "batch of 250 rows", None, "2024-01-01 00:00:02"),
+        ("c1", 1, "assistant", "pad 007 literal", None, "2024-01-01 00:00:03"),
+        ("c2", 0, "user", "no numerics here", None, "2024-01-01 00:00:04"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search(idx, "text:[100 TO 250]", k=10).collect()
+    }
+    assert got == {("c0", 1), ("c1", 0)}
+    # leading-zero token compares numerically
+    got2 = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search(idx, "text:[5 TO 10]", k=10).collect()
+    }
+    assert got2 == {("c1", 1)}
+    # open-ended sugar + combination with a scored term
+    got3 = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search(idx, "retry AND text:>=100", k=10).collect()
+    }
+    assert got3 == {("c0", 1)}
+    # row_predicate parity (streaming delivery path)
+    from miru_spark.query.filters import row_predicate
+    from miru_spark.query.parser import parse_query
+    from miru_spark.tokenize import tokens_col
+
+    pred = row_predicate(parse_query("text:[100 TO 250]"), tokens_col("text"))
+    marked = {
+        (r["conv_id"], r["turn_idx"])
+        for r in turns.where(pred).select("conv_id", "turn_idx").collect()
+    }
+    assert marked == {("c0", 1), ("c1", 0)}
