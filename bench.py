@@ -126,7 +126,8 @@ def main() -> None:
                  "dedup_components", "hash_split_docs",
                  "stratified_sample_lang", "ft_bm25_page2",
                  "pack_sequences", "text_ngram_repetition",
-                 "text_bpe_tokens", "pipeline_prepare"]:
+                 "text_bpe_tokens", "pipeline_prepare",
+                 "ft_phrase_query"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

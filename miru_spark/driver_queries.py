@@ -2027,6 +2027,45 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 4))
 
 
+def _q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted phrase through the FULL query language (parser → Phrase
+    node → positions-join match set → general BM25 path), composed with
+    a metadata predicate — beyond the reference's bag-of-terms parser
+    which strips quotes to an AND (LuceneBackedQueryParser.java:94-108)."""
+    idx = _index_for(spark, sf_dir, positions=True)
+    out = search(idx, '"the fast" AND role:user', k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_phrase_query",
+    _q_phrase_query,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT d.docint FROM d JOIN dl ON dl.docint = d.docint
+  WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% the fast %'
+    AND dl.role = 'user'
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('fast', 'the') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, m.docint,
+       ROUND(COALESCE(ct.score, 0), 4) AS score
+FROM m
+LEFT JOIN contrib ct USING (docint)
+JOIN dl ON dl.docint = m.docint
+ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+LIMIT 10
+""",
+)
+
+
 _register(
     "ft_phrase",
     _q_phrase,

@@ -29,6 +29,19 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Phrase:
+    """Quoted positional phrase (``"hash join"``): terms must appear
+    consecutively in analyzed-token order. Beyond the reference's
+    bag-of-terms fulltext (its LuceneBackedQueryParser strips quotes to
+    an AND, LuceneBackedQueryParser.java:94-108); served here via the
+    positions-bearing postings (query/phrase.py). Scoring contributes
+    the member terms like ordinary text leaves."""
+
+    values: tuple[str, ...]
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Range:
     """Typed metadata range — the engine's answer to the reference's
     numeric-lex term ranges (``MiruTermComposer.java:35-119`` encodes
@@ -86,6 +99,9 @@ def positive_text_leaves(node: Node) -> list:
         if isinstance(n, (Term, Prefix)):
             if not negated and n.field == DEFAULT_FIELD:
                 out.append(n)
+        elif isinstance(n, Phrase):
+            if not negated and n.field == DEFAULT_FIELD:
+                out.extend(Term(v) for v in n.values)
         elif isinstance(n, Not):
             walk(n.child, not negated)
         elif isinstance(n, (And, Or)):

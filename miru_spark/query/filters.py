@@ -29,6 +29,7 @@ from miru_spark.query.ast import (
     Node,
     Not,
     Or,
+    Phrase,
     Prefix,
     Range,
     Term,
@@ -96,6 +97,12 @@ class FilterEvaluator:
             return self._text_leaves_any([node])
         if isinstance(node, Range) and node.field == DEFAULT_FIELD:
             return self._text_numeric_range(node)
+        if isinstance(node, Phrase):
+            # positional phrase over the positions-bearing postings
+            # (query/phrase.py; clear error if built without positions)
+            from miru_spark.query.phrase import phrase_match_docs
+
+            return phrase_match_docs(self.index, " ".join(node.values))
         if isinstance(node, (Term, Prefix, Range, AuthzAny)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
@@ -194,6 +201,10 @@ def row_predicate(node: Node, tokens: Column) -> Column:
         if isinstance(node, Term):
             return F.array_contains(tokens, node.value)
         return F.exists(tokens, lambda t: t.startswith(node.value))
+    if isinstance(node, Phrase):
+        # adjacency == substring of the space-joined token stream
+        joined = F.concat(F.lit(" "), F.array_join(tokens, " "), F.lit(" "))
+        return joined.contains(" " + " ".join(node.values) + " ")
     if isinstance(node, Range) and node.field == DEFAULT_FIELD:
         # numeric-token range against THIS row's token array
         def _in_range(t):

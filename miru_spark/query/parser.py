@@ -22,6 +22,7 @@ from miru_spark.query.ast import (
     Node,
     Not,
     Or,
+    Phrase,
     Prefix,
     Range,
     Term,
@@ -32,6 +33,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
+      | (?P<quoted>"[^"]*")
       | (?P<word>[^\s()]+)
     )""",
     re.VERBOSE,
@@ -55,7 +57,12 @@ def _lex(q: str) -> list[str]:
         if not m:
             break
         i = m.end()
-        toks.append(m.group("lparen") or m.group("rparen") or m.group("word"))
+        toks.append(
+            m.group("lparen")
+            or m.group("rparen")
+            or m.group("quoted")
+            or m.group("word")
+        )
     return toks
 
 
@@ -120,6 +127,13 @@ class _Parser:
             raise QueryParseError("unexpected )")
         if t in ("AND", "OR", "NOT"):
             raise QueryParseError(f"operator {t} in term position")
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            # quoted positional phrase (needs a positions index to serve;
+            # a 1-term phrase degrades to the plain term)
+            parts = tokenize_py(t[1:-1])
+            if not parts:
+                raise QueryParseError(f"phrase analyzes to nothing: {t!r}")
+            return Term(parts[0]) if len(parts) == 1 else Phrase(tuple(parts))
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")

@@ -1,6 +1,7 @@
 """Phrase search over positions (engine extension, SURVEY.md §2.2)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from miru_spark.index import InvertedIndex
 from miru_spark.query.phrase import phrase_match_docs, search_phrase
@@ -59,3 +60,43 @@ def test_requires_positions(spark, tiny_turns):
     idx = InvertedIndex.build(tiny_turns, positions=False)
     with pytest.raises(ValueError, match="positions"):
         phrase_match_docs(idx, "a b")
+
+def test_quoted_phrase_through_parser(spark):
+    """'"a b"' parses to a Phrase node and the full search path serves
+    it from the positions index, composable with metadata and boolean
+    operators; 1-term quotes degrade to a plain term."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.ast import Phrase
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.parser import parse_query
+
+    node = parse_query('"hash join" AND spark')
+    assert any(isinstance(c, Phrase) for c in node.children)
+
+    rows = [
+        ("c0", 0, "user", "hash join wins here", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "assistant", "join hash reversed", None, "2024-01-01 00:00:01"),
+        ("c1", 0, "user", "a hash and then a join apart", None, "2024-01-01 00:00:02"),
+        ("c1", 1, "user", "hash join again but assistant says", None, "2024-01-01 00:00:03"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, positions=True, cache=False)
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search(idx, '"hash join"', k=10).collect()
+    }
+    assert got == {("c0", 0), ("c1", 1)}  # adjacency, order-sensitive
+    got2 = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search(idx, '"hash join" AND role:user AND NOT again', k=10).collect()
+    }
+    assert got2 == {("c0", 0)}
+    # clear error on a positions-free index
+    idx2 = InvertedIndex.build(turns, positions=False, cache=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positions"):
+        search(idx2, '"hash join"', k=10).collect()
