@@ -127,7 +127,7 @@ def main() -> None:
                  "stratified_sample_lang", "ft_bm25_page2",
                  "pack_sequences", "text_ngram_repetition",
                  "text_bpe_tokens", "pipeline_prepare",
-                 "ft_phrase_query"]:
+                 "ft_phrase_query", "decontaminate_docs"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -1526,6 +1526,53 @@ FROM c
 )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing a 5-gram
+    with a held-out eval slice (doc_id % 20 == 0). The bench gram set is
+    broadcast; the check is one scan of the training gram stream."""
+    from miru_spark.operators.textstats import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontaminate(
+        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=5
+    )
+    return out.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
+_register(
+    "decontaminate_docs",
+    _q_decontaminate,
+    """
+WITH d AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+g AS (
+  SELECT id, list_transform(range(len(t) - 4),
+                            i -> array_to_string(t[i + 1:i + 5], ' ')) AS gs
+  FROM d WHERE len(t) >= 5
+),
+e AS (SELECT DISTINCT id, unnest(gs) AS gram FROM g),
+bench AS (SELECT DISTINCT gram FROM e WHERE id % 20 = 0),
+pd AS (
+  SELECT e.id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM e LEFT JOIN bench b USING (gram)
+  WHERE e.id % 20 != 0 GROUP BY 1
+)
+SELECT d.id,
+       COALESCE(pd.n_grams, 0)::INT AS n_grams,
+       COALESCE(pd.n_hit, 0)::INT AS n_hit,
+       CASE WHEN COALESCE(pd.n_grams, 0) > 0
+            THEN ROUND(pd.n_hit / pd.n_grams::DOUBLE, 4)
+            ELSE 0.0 END AS contam_frac,
+       CASE WHEN COALESCE(pd.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM d LEFT JOIN pd USING (id)
+WHERE d.id % 20 != 0
+""",
+)
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (budget 512) over the documents
     table: per doc its global token offset and first/last sequence id,

@@ -135,6 +135,91 @@ def doc_fingerprints(
     )
 
 
+def _doc_ngrams(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, gram) occurrence stream of token ``n``-grams.
+
+    Window-lead construction partitioned by the high-cardinality doc id
+    (see ngram_repetition's docstring for why not a higher-order
+    transform lambda): scale-safe, stays in whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    ex = docs.select(F.col(id_col).alias("id"), toks.alias("t")).select(
+        "id", F.posexplode("t").alias("pos", "w")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    last = F.lead("w", n - 1).over(win)
+    return (
+        ex.select("id", F.concat_ws(" ", *parts).alias("gram"), last.alias("_ok"))
+        .where(F.col("_ok").isNotNull())
+        .drop("_ok")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Dolma n-gram filter): flag
+    every training doc that shares at least one token ``n``-gram with a
+    held-out eval/benchmark set. Per doc:
+
+    - ``n_grams`` — distinct n-grams in the doc,
+    - ``n_hit`` — of those, how many appear anywhere in ``bench``,
+    - ``contam_frac`` — ``n_hit / n_grams``,
+    - ``contaminated`` — ``n_hit > 0``.
+
+    Scale shape: eval sets are tiny relative to a 100 TB training
+    corpus, so the distinct benchmark gram set is broadcast
+    (``broadcast_bench=True``, default) and the check is one
+    broadcast-hash left join over the training gram stream — a single
+    scan of the corpus, no shuffle on the big side. Set
+    ``broadcast_bench=False`` for a benchmark too large to broadcast
+    (falls back to a shuffled join on the uniform gram hash key).
+    Docs shorter than ``n`` tokens have zero grams and are kept
+    (uncontaminated by construction).
+    """
+    bench_grams = _doc_ngrams(bench, n, id_col, text_col).select(
+        "gram"
+    ).distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    per = (
+        _doc_ngrams(docs, n, id_col, text_col)
+        .distinct()
+        .join(bench_grams.withColumn("_hit", F.lit(1)), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit") / F.col("n_grams").cast("double"), 4),
+            )
+            .otherwise(0.0)
+            .alias("contam_frac"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 3,
@@ -161,17 +246,8 @@ def ngram_repetition(
     0.8 s); the window is partitioned by the high-cardinality doc id,
     so it stays scale-safe.
     """
-    from pyspark.sql import Window
-
-    toks = tokens_col(text_col)
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
-    ex = base.select("id", F.posexplode("t").alias("pos", "w"))
-    win = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    last = F.lead("w", n - 1).over(win)
-    exploded = ex.select(
-        "id", F.concat_ws(" ", *parts).alias("gram"), last.alias("_ok")
-    ).where(F.col("_ok").isNotNull()).drop("_ok")
+    exploded = _doc_ngrams(docs, n, id_col, text_col)
+    base = docs.select(F.col(id_col).alias("id"))
     # pre-aggregate to distinct (id, gram) with occurrence counts: after
     # this, per-gram df is a plain count and both per-doc aggregates are
     # distinct-free (no two-phase count_distinct expansion anywhere),

@@ -379,3 +379,39 @@ def test_bpe_token_estimate(spark):
     assert got.loc[3, "n_bpe_pieces"] == 5
     assert got.loc[4, "n_ws_tokens"] == 0 and got.loc[4, "pieces_per_word"] == 0.0
     assert (got.loc[got["n_ws_tokens"] > 0, "pieces_per_word"] >= 1).all()
+
+
+def test_decontaminate(spark, documents):
+    """N-gram decontamination: a training doc containing a benchmark
+    5-gram is flagged; disjoint docs and sub-n docs are not; and the
+    broadcast / shuffle join variants agree."""
+    from miru_spark.operators.textstats import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "pre beta gamma delta epsilon zeta post"),  # shares a 5-gram
+            (2, "beta gamma delta epsilon"),  # only 4 tokens: zero grams
+            (3, "one two three four five six seven"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = decontaminate(train, bench, n=5).toPandas().set_index("id").sort_index()
+    assert bool(got.loc[1, "contaminated"]) and got.loc[1, "n_hit"] == 1
+    assert got.loc[2, "n_grams"] == 0 and not bool(got.loc[2, "contaminated"])
+    assert not bool(got.loc[3, "contaminated"]) and got.loc[3, "n_grams"] == 3
+
+    # shuffle fallback is result-identical on the real corpus
+    b = documents.where(F.col("doc_id") % 20 == 0)
+    t = documents.where(F.col("doc_id") % 20 != 0)
+    a = decontaminate(t, b, n=5).toPandas().sort_values("id").reset_index(drop=True)
+    s = (
+        decontaminate(t, b, n=5, broadcast_bench=False)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(s)
