@@ -127,7 +127,8 @@ def main() -> None:
                  "stratified_sample_lang", "ft_bm25_page2",
                  "pack_sequences", "text_ngram_repetition",
                  "text_bpe_tokens", "pipeline_prepare",
-                 "ft_phrase_query", "decontaminate_docs"]:
+                 "ft_phrase_query", "decontaminate_docs",
+                 "ft_phrase_slop"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

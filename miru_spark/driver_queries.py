@@ -2113,6 +2113,31 @@ LIMIT 10
 )
 
 
+def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity ('"the fast"~2'): terms in order within a
+    window of n-1+slop positions, served by the greedy position-chain
+    evaluator (query/phrase.py:proximity_match_docs), composed with a
+    metadata predicate through the full query language."""
+    idx = _index_for(spark, sf_dir, positions=True)
+    out = search(idx, '"the fast"~2 AND role:user', k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_phrase_slop",
+    _q_phrase_slop,
+    _bm25_sql(
+        f"""SELECT d.docint FROM d JOIN dl ON dl.docint = d.docint
+  WHERE dl.role = 'user' AND len(list_filter(
+      list_filter(range(len({_TOK})), i -> ({_TOK})[i+1] = 'the'),
+      a -> len(list_filter(range(len({_TOK})),
+               b -> ({_TOK})[b+1] = 'fast' AND b > a AND b - a <= 3)) > 0)) > 0""",
+        "p.term IN ('fast', 'the')",
+        10,
+    ),
+)
+
+
 _register(
     "ft_phrase",
     _q_phrase,

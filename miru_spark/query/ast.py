@@ -35,10 +35,15 @@ class Phrase:
     bag-of-terms fulltext (its LuceneBackedQueryParser strips quotes to
     an AND, LuceneBackedQueryParser.java:94-108); served here via the
     positions-bearing postings (query/phrase.py). Scoring contributes
-    the member terms like ordinary text leaves."""
+    the member terms like ordinary text leaves.
+
+    ``slop`` (the ``"a b"~2`` suffix) relaxes adjacency to ordered
+    proximity: the terms must appear in order within a window of
+    ``len(values) - 1 + slop`` positions (slop 0 = exact phrase)."""
 
     values: tuple[str, ...]
     field: str = DEFAULT_FIELD
+    slop: int = 0
 
 
 @dataclass(frozen=True)

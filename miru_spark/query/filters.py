@@ -102,7 +102,9 @@ class FilterEvaluator:
             # (query/phrase.py; clear error if built without positions)
             from miru_spark.query.phrase import phrase_match_docs
 
-            return phrase_match_docs(self.index, " ".join(node.values))
+            return phrase_match_docs(
+                self.index, " ".join(node.values), slop=node.slop
+            )
         if isinstance(node, (Term, Prefix, Range, AuthzAny)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
@@ -202,9 +204,28 @@ def row_predicate(node: Node, tokens: Column) -> Column:
             return F.array_contains(tokens, node.value)
         return F.exists(tokens, lambda t: t.startswith(node.value))
     if isinstance(node, Phrase):
-        # adjacency == substring of the space-joined token stream
-        joined = F.concat(F.lit(" "), F.array_join(tokens, " "), F.lit(" "))
-        return joined.contains(" " + " ".join(node.values) + " ")
+        if node.slop == 0:
+            # adjacency == substring of the space-joined token stream
+            joined = F.concat(F.lit(" "), F.array_join(tokens, " "), F.lit(" "))
+            return joined.contains(" " + " ".join(node.values) + " ")
+        # ordered proximity: same greedy position chain as
+        # phrase.proximity_match_docs, over THIS row's token array
+        from miru_spark.query.phrase import _advance
+
+        def _positions(w: str) -> Column:
+            return F.filter(
+                F.transform(tokens, lambda t, i: F.when(t == F.lit(w), i)),
+                lambda x: x.isNotNull(),
+            )
+
+        carry = F.transform(
+            _positions(node.values[0]),
+            lambda p: F.struct(p.alias("start"), p.alias("cur")),
+        )
+        for w in node.values[1:]:
+            carry = _advance(carry, _positions(w))
+        window = len(node.values) - 1 + node.slop
+        return F.exists(carry, lambda s: s["cur"] - s["start"] <= F.lit(window))
     if isinstance(node, Range) and node.field == DEFAULT_FIELD:
         # numeric-token range against THIS row's token array
         def _in_range(t):

@@ -33,7 +33,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<quoted>"[^"]*")
+      | (?P<quoted>"[^"]*"(?:~[0-9]+)?)
       | (?P<word>[^\s()]+)
     )""",
     re.VERBOSE,
@@ -127,13 +127,18 @@ class _Parser:
             raise QueryParseError("unexpected )")
         if t in ("AND", "OR", "NOT"):
             raise QueryParseError(f"operator {t} in term position")
-        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
-            # quoted positional phrase (needs a positions index to serve;
-            # a 1-term phrase degrades to the plain term)
-            parts = tokenize_py(t[1:-1])
+        if t.startswith('"') and ('"' in t[1:]):
+            # quoted positional phrase, optional ~N slop suffix (needs a
+            # positions index to serve; a 1-term phrase degrades to the
+            # plain term)
+            body, _, suffix = t[1:].rpartition('"')
+            slop = int(suffix[1:]) if suffix.startswith("~") else 0
+            parts = tokenize_py(body)
             if not parts:
                 raise QueryParseError(f"phrase analyzes to nothing: {t!r}")
-            return Term(parts[0]) if len(parts) == 1 else Phrase(tuple(parts))
+            if len(parts) == 1:
+                return Term(parts[0])
+            return Phrase(tuple(parts), slop=slop)
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")

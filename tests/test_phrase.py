@@ -100,3 +100,49 @@ def test_quoted_phrase_through_parser(spark):
 
     with _pytest.raises(ValueError, match="positions"):
         search(idx2, '"hash join"', k=10).collect()
+
+
+def test_proximity_slop(spark):
+    """'"a b"~N' ordered proximity: greedy position chain, identical
+    answers from the index path and the row-predicate path, slop=0
+    equals the exact phrase."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.filters import row_predicate
+    from miru_spark.query.parser import parse_query
+    from miru_spark.tokenize import tokens_col
+
+    rows = [
+        ("c0", 0, "user", "hash join wins", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "hash quick join", None, "2024-01-01 00:00:01"),
+        ("c0", 2, "user", "hash a b c join", None, "2024-01-01 00:00:02"),
+        ("c0", 3, "user", "join then hash", None, "2024-01-01 00:00:03"),
+        ("c0", 4, "user", "hash alpha join beta hash join", None, "2024-01-01 00:00:04"),
+        ("c0", 5, "user", "alpha hash gamma beta join delta", None, "2024-01-01 00:00:05"),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, positions=True, cache=False)
+
+    expect = {
+        '"hash join"': {0, 4},
+        '"hash join"~1': {0, 1, 4},
+        '"hash join"~2': {0, 1, 4, 5},
+        '"hash join"~3': {0, 1, 2, 4, 5},
+        '"hash beta join"~1': {5},  # 3-term greedy chain
+    }
+    for q, want in expect.items():
+        got = {r["turn_idx"] for r in search(idx, q, k=10).collect()}
+        assert got == want, q
+        rp = {
+            r["turn_idx"]
+            for r in turns.where(
+                row_predicate(parse_query(q), tokens_col("text"))
+            ).collect()
+        }
+        assert rp == want, f"row predicate {q}"
+    # slop parses; slop=0 suffix == bare phrase
+    n = parse_query('"hash join"~2')
+    assert n.slop == 2 and n.values == ("hash", "join")
