@@ -2113,6 +2113,48 @@ LIMIT 10
 )
 
 
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term 's?a*' (Lucene WildcardQuery semantics): resolved
+    against the term dictionary with one LIKE predicate, matched terms
+    score like ordinary leaves."""
+    idx = _index_for(spark, sf_dir)
+    out = search(idx, "s?a* AND role:user", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_wildcard",
+    _q_wildcard,
+    _bm25_sql(
+        """SELECT DISTINCT p.docint FROM post p JOIN dl ON dl.docint = p.docint
+  WHERE p.term LIKE 's_a%' AND dl.role = 'user'""",
+        "p.term LIKE 's_a%'",
+        10,
+    ),
+)
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term 'part~2' (Lucene FuzzyQuery semantics): dictionary
+    terms within 2 Levenshtein edits, length-banded scan of the tiny
+    term-stats table; matched terms score like ordinary leaves."""
+    idx = _index_for(spark, sf_dir)
+    out = search(idx, "part~2 AND role:assistant", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_fuzzy",
+    _q_fuzzy,
+    _bm25_sql(
+        """SELECT DISTINCT p.docint FROM post p JOIN dl ON dl.docint = p.docint
+  WHERE levenshtein(p.term, 'part') <= 2 AND dl.role = 'assistant'""",
+        "levenshtein(p.term, 'part') <= 2",
+        10,
+    ),
+)
+
+
 def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered proximity ('"the fast"~2'): terms in order within a
     window of n-1+slop positions, served by the greedy position-chain

@@ -47,6 +47,36 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """Wildcard term (``fo*bar``, ``f?x``): ``*`` matches any run of
+    characters, ``?`` exactly one. Lucene-grammar parity (the reference
+    delegates query strings to Lucene's parser, which accepts
+    WildcardQuery; its own re-parse keeps only term/prefix/boolean,
+    LuceneBackedQueryParser.java:94-108 — this engine serves the full
+    form). Resolved against the term dictionary (a LIKE scan of the
+    small term-stats table), then served like an OR of the matched
+    terms; matched terms contribute BM25 weight like ordinary leaves.
+    Leading wildcards are allowed — the dictionary scan is linear in
+    vocabulary, not corpus."""
+
+    pattern: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """Fuzzy term (``spark~1``, ``spark~``): matches dictionary terms
+    within ``max_edits`` Levenshtein distance (Lucene FuzzyQuery
+    semantics; bare ``~`` = 2 edits, Lucene's default). Resolved with a
+    length-banded levenshtein scan of the term dictionary; matched
+    terms contribute BM25 weight like ordinary leaves."""
+
+    value: str
+    max_edits: int = 2
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Range:
     """Typed metadata range — the engine's answer to the reference's
     numeric-lex term ranges (``MiruTermComposer.java:35-119`` encodes
@@ -101,7 +131,7 @@ def positive_text_leaves(node: Node) -> list:
     out: list = []
 
     def walk(n: Node, negated: bool) -> None:
-        if isinstance(n, (Term, Prefix)):
+        if isinstance(n, (Term, Prefix, Wildcard, Fuzzy)):
             if not negated and n.field == DEFAULT_FIELD:
                 out.append(n)
         elif isinstance(n, Phrase):

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from miru_spark.index import InvertedIndex
 from miru_spark.query.ast import Node, positive_text_leaves, Prefix, Term
-from miru_spark.query.filters import FilterEvaluator
+from miru_spark.query.filters import FilterEvaluator, text_leaves_pred
 from miru_spark.query.parser import parse_query
 
 K1 = 1.2
@@ -250,16 +250,12 @@ def search(
             .select("conv_id", "turn_idx", "docint", "score")
         )
 
-    leaves = positive_text_leaves(node)
-    exact = sorted({l.value for l in leaves if isinstance(l, Term)})
-    prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
-
-    pred = None
-    if exact:
-        pred = F.col("term").isin(exact)
-    for p in prefixes:
-        c = F.col("term").startswith(p)
-        pred = c if pred is None else (pred | c)
+    # one OR-of-leaf-predicates postings scan covers every text leaf
+    # shape (exact / prefix / wildcard / fuzzy): a term matched by
+    # several leaves still scores once — the predicate selects rows,
+    # it doesn't multiply them
+    leaves = list(dict.fromkeys(positive_text_leaves(node)))
+    pred = text_leaves_pred(leaves)
 
     if strategy == "time" or pred is None:
         # newest-k (FullText.collectTime) / pure-metadata queries: score 0

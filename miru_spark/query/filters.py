@@ -26,6 +26,7 @@ from miru_spark.query.ast import (
     DEFAULT_FIELD,
     And,
     AuthzAny,
+    Fuzzy,
     Node,
     Not,
     Or,
@@ -33,17 +34,59 @@ from miru_spark.query.ast import (
     Prefix,
     Range,
     Term,
+    Wildcard,
 )
 
 
+def like_pattern(wildcard: str) -> str:
+    """Lucene wildcard syntax → SQL LIKE (``*``→``%``, ``?``→``_``,
+    pre-existing LIKE metacharacters escaped)."""
+    out = []
+    for ch in wildcard:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _leaf_pred(leaf) -> Column:
+    """Term-dictionary predicate for a text leaf (applies to any table
+    with a ``term`` column: postings or term stats)."""
     if isinstance(leaf, Term):
         return F.col("term") == leaf.value
+    if isinstance(leaf, Wildcard):
+        return F.col("term").like(like_pattern(leaf.pattern))
+    if isinstance(leaf, Fuzzy):
+        # length band first: cheap JVM check short-circuits the
+        # levenshtein for almost the whole dictionary
+        band = (
+            F.abs(F.length(F.col("term")) - F.lit(len(leaf.value)))
+            <= leaf.max_edits
+        )
+        return band & (
+            F.levenshtein(F.col("term"), F.lit(leaf.value)) <= leaf.max_edits
+        )
     return F.col("term").startswith(leaf.value)
 
 
+def text_leaves_pred(leaves) -> Column | None:
+    """OR of the term predicates of ``leaves`` (None if empty) — the
+    single-scan postings/term-stats predicate shared by the filter
+    evaluator and the BM25 scorer."""
+    preds = [_leaf_pred(l) for l in leaves]
+    return reduce(lambda a, b: a | b, preds) if preds else None
+
+
 def _is_text_leaf(n: Node) -> bool:
-    return isinstance(n, (Term, Prefix)) and n.field == DEFAULT_FIELD
+    return (
+        isinstance(n, (Term, Prefix, Wildcard, Fuzzy))
+        and n.field == DEFAULT_FIELD
+    )
 
 
 def _meta_pred(leaf) -> Column:
@@ -199,9 +242,18 @@ def row_predicate(node: Node, tokens: Column) -> Column:
     delivery hook). Pure column expressions: text terms via
     array_contains / exists-startswith on the token array, metadata
     leaves via the same typed predicates the evaluator uses."""
-    if isinstance(node, (Term, Prefix)) and _is_text_leaf(node):
+    if _is_text_leaf(node):
         if isinstance(node, Term):
             return F.array_contains(tokens, node.value)
+        if isinstance(node, Wildcard):
+            pat = like_pattern(node.pattern)
+            return F.exists(tokens, lambda t: t.like(pat))
+        if isinstance(node, Fuzzy):
+            return F.exists(
+                tokens,
+                lambda t: F.levenshtein(t, F.lit(node.value))
+                <= F.lit(node.max_edits),
+            )
         return F.exists(tokens, lambda t: t.startswith(node.value))
     if isinstance(node, Phrase):
         if node.slop == 0:

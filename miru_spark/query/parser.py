@@ -19,6 +19,7 @@ from miru_spark.query.ast import (
     DEFAULT_FIELD,
     And,
     AuthzAny,
+    Fuzzy,
     Node,
     Not,
     Or,
@@ -26,6 +27,7 @@ from miru_spark.query.ast import (
     Prefix,
     Range,
     Term,
+    Wildcard,
 )
 from miru_spark.tokenize import tokenize_py
 
@@ -162,6 +164,20 @@ class _Parser:
             rng = self._maybe_range(field, t)
             if rng is not None:
                 return rng
+        if field == DEFAULT_FIELD:
+            # fuzzy: word~ (2 edits, Lucene default) or word~N
+            m = re.fullmatch(r"([^~]+)~([0-9]?)", t)
+            if m and not any(ch in m.group(1) for ch in "*?"):
+                parts = tokenize_py(m.group(1))
+                if len(parts) != 1:
+                    raise QueryParseError(f"fuzzy needs one term: {t!r}")
+                return Fuzzy(parts[0], int(m.group(2) or 2))
+            # wildcard: '?' anywhere or '*' beyond a single trailing one
+            # (which stays the cheaper Prefix); reject all-wildcard
+            if ("?" in t) or ("*" in t[:-1]) or t.count("*") > 1:
+                if not t.strip("*?"):
+                    raise QueryParseError(f"wildcard matches everything: {t!r}")
+                return Wildcard(t.lower())
         is_prefix = t.endswith("*") and len(t) > 1
         if is_prefix:
             t = t[:-1]

@@ -148,3 +148,62 @@ def test_text_numeric_range_end_to_end(spark):
         for r in turns.where(pred).select("conv_id", "turn_idx").collect()
     }
     assert marked == {("c0", 1), ("c1", 0)}
+
+
+def test_wildcard_fuzzy_parse():
+    """Lucene wildcard/fuzzy grammar: '?'/'mid-*' -> Wildcard, '~N' ->
+    Fuzzy (bare '~' = 2 edits), trailing single '*' stays Prefix, and
+    all-wildcard patterns are rejected."""
+    import pytest
+
+    from miru_spark.query.ast import Fuzzy, Prefix, Wildcard
+    from miru_spark.query.parser import QueryParseError, parse_query
+
+    assert parse_query("fo*bar") == Wildcard("fo*bar")
+    assert parse_query("f?x") == Wildcard("f?x")
+    assert parse_query("*bar") == Wildcard("*bar")
+    assert parse_query("foo*") == Prefix("foo")  # cheap path unchanged
+    assert parse_query("spark~1") == Fuzzy("spark", 1)
+    assert parse_query("spark~") == Fuzzy("spark", 2)  # Lucene default
+    with pytest.raises(QueryParseError):
+        parse_query("**")
+
+
+def test_wildcard_fuzzy_search(spark):
+    """Wildcard and fuzzy leaves resolve against the term dictionary and
+    score/compose like ordinary leaves on both serving paths."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.filters import row_predicate
+    from miru_spark.query.parser import parse_query
+    from miru_spark.tokenize import tokens_col
+
+    rows = [
+        ("c0", 0, "user", "spark shuffle wins", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "spork and spoon", None, "2024-01-01 00:00:01"),
+        ("c1", 0, "user", "sharding the shuffle scan", None, "2024-01-01 00:00:02"),
+        ("c1", 1, "user", "shuttle to the stars", None, "2024-01-01 00:00:03"),
+        ("c2", 0, "user", "slow sort here", None, "2024-01-01 00:00:04"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+
+    for q, want in [
+        ("sh*le", {("c0", 0), ("c1", 0), ("c1", 1)}),
+        ("spark~1", {("c0", 0), ("c0", 1)}),
+        ("s?an OR slow", {("c1", 0), ("c2", 0)}),
+        ("sh*le AND NOT shuttle", {("c0", 0), ("c1", 0)}),
+    ]:
+        got = {
+            (r["conv_id"], r["turn_idx"]) for r in search(idx, q, k=50).collect()
+        }
+        assert got == want, q
+        rp = {
+            (r["conv_id"], r["turn_idx"])
+            for r in turns.where(
+                row_predicate(parse_query(q), tokens_col("text"))
+            ).collect()
+        }
+        assert rp == want, f"row predicate {q}"
