@@ -128,7 +128,8 @@ def main() -> None:
                  "pack_sequences", "text_ngram_repetition",
                  "text_bpe_tokens", "pipeline_prepare",
                  "ft_phrase_query", "decontaminate_docs",
-                 "ft_phrase_slop", "ft_bm25_wildcard", "ft_bm25_fuzzy"]:
+                 "ft_phrase_slop", "ft_bm25_wildcard", "ft_bm25_fuzzy",
+                 "ft_bm25_boost"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -2134,6 +2134,41 @@ _register(
 )
 
 
+def _q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene '^B' clause boost: 'fast^3' triples that term's BM25
+    weight, reordering the OR's top-k (boosted queries route past the
+    fused single-agg plan to the per-leaf-weight path)."""
+    idx = _index_for(spark, sf_dir)
+    out = search(idx, "the OR fast^3", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_boost",
+    _q_boost,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT p.docint FROM post p WHERE p.term IN ('fast', 'the')),
+contrib AS (
+  SELECT p.docint,
+         SUM({_BM25} * CASE WHEN p.term = 'fast' THEN 3 ELSE 1 END) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('fast', 'the') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, m.docint,
+       ROUND(COALESCE(ct.score, 0), 4) AS score
+FROM m
+LEFT JOIN contrib ct USING (docint)
+JOIN dl ON dl.docint = m.docint
+ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+LIMIT 10
+""",
+)
+
+
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy term 'part~2' (Lucene FuzzyQuery semantics): dictionary
     terms within 2 Levenshtein edits, length-banded scan of the tiny

@@ -20,12 +20,14 @@ DEFAULT_FIELD = "text"
 class Term:
     value: str
     field: str = DEFAULT_FIELD
+    boost: float = 1.0  # Lucene '^N' clause boost (scoring multiplier)
 
 
 @dataclass(frozen=True)
 class Prefix:
     value: str
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -44,6 +46,7 @@ class Phrase:
     values: tuple[str, ...]
     field: str = DEFAULT_FIELD
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -61,6 +64,7 @@ class Wildcard:
 
     pattern: str
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -74,6 +78,7 @@ class Fuzzy:
     value: str
     max_edits: int = 2
     field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -136,7 +141,7 @@ def positive_text_leaves(node: Node) -> list:
                 out.append(n)
         elif isinstance(n, Phrase):
             if not negated and n.field == DEFAULT_FIELD:
-                out.extend(Term(v) for v in n.values)
+                out.extend(Term(v, boost=n.boost) for v in n.values)
         elif isinstance(n, Not):
             walk(n.child, not negated)
         elif isinstance(n, (And, Or)):

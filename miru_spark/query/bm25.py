@@ -67,13 +67,19 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     def text_leaves(children) -> list | None:
         out = []
         for c in children:
-            if isinstance(c, (Term, Prefix)) and c.field == "text":
+            # boosted leaves carry per-term weights the fused single-agg
+            # plan doesn't model — route them to the general path
+            if (
+                isinstance(c, (Term, Prefix))
+                and c.field == "text"
+                and c.boost == 1.0
+            ):
                 out.append(c)
             else:
                 return None
         return out
 
-    if isinstance(node, (Term, Prefix)) and node.field == "text":
+    if isinstance(node, (Term, Prefix)) and node.field == "text" and node.boost == 1.0:
         return ("and", [node])
     if isinstance(node, And):
         leaves = text_leaves(node.children)
@@ -265,12 +271,33 @@ def search(
         topk = ranked.orderBy(F.desc("docint")).limit(k)
         return _finish(topk)
 
-    # broadcast the tiny per-query term-weight table (idf per term)
-    qterms = F.broadcast(
-        index.terms.where(pred).select(
-            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+    # broadcast the tiny per-query term-weight table (idf per term);
+    # with '^B' boosts, each leaf's matched terms carry idf·boost and a
+    # term matched by several leaves takes the MAX weight (it still
+    # scores once — see the dedup note above). The union runs over the
+    # small term-stats table only.
+    if any(l.boost != 1.0 for l in leaves):
+        from miru_spark.query.filters import _leaf_pred
+
+        parts_w = [
+            index.terms.where(_leaf_pred(l)).select(
+                "term",
+                (idf_col(F.col("df"), index.n_docs) * F.lit(l.boost)).alias("w"),
+            )
+            for l in leaves
+        ]
+        union_w = parts_w[0]
+        for p in parts_w[1:]:
+            union_w = union_w.unionByName(p)
+        qterms = F.broadcast(
+            union_w.groupBy("term").agg(F.max("w").alias("idf"))
         )
-    )
+    else:
+        qterms = F.broadcast(
+            index.terms.where(pred).select(
+                "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+            )
+        )
     # doclen rides on the posting rows — scoring touches ONLY the
     # postings table + the broadcast weights (index-only access path)
     contribs = (

@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<quoted>"[^"]*"(?:~[0-9]+)?)
+      | (?P<quoted>"[^"]*"(?:~[0-9]+)?(?:\^[0-9.]+)?)
       | (?P<word>[^\s()]+)
     )""",
     re.VERBOSE,
@@ -130,17 +130,21 @@ class _Parser:
         if t in ("AND", "OR", "NOT"):
             raise QueryParseError(f"operator {t} in term position")
         if t.startswith('"') and ('"' in t[1:]):
-            # quoted positional phrase, optional ~N slop suffix (needs a
-            # positions index to serve; a 1-term phrase degrades to the
-            # plain term)
+            # quoted positional phrase, optional ~N slop and ^B boost
+            # suffixes (needs a positions index to serve; a 1-term
+            # phrase degrades to the plain term)
             body, _, suffix = t[1:].rpartition('"')
-            slop = int(suffix[1:]) if suffix.startswith("~") else 0
+            sm = re.fullmatch(r"(?:~([0-9]+))?(?:\^([0-9.]+))?", suffix)
+            if sm is None:
+                raise QueryParseError(f"bad phrase suffix: {t!r}")
+            slop = int(sm.group(1) or 0)
+            boost = float(sm.group(2) or 1.0)
             parts = tokenize_py(body)
             if not parts:
                 raise QueryParseError(f"phrase analyzes to nothing: {t!r}")
             if len(parts) == 1:
-                return Term(parts[0])
-            return Phrase(tuple(parts), slop=slop)
+                return Term(parts[0], boost=boost)
+            return Phrase(tuple(parts), slop=slop, boost=boost)
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")
@@ -164,20 +168,26 @@ class _Parser:
             rng = self._maybe_range(field, t)
             if rng is not None:
                 return rng
+        boost = 1.0
         if field == DEFAULT_FIELD:
+            # Lucene '^B' clause boost — suffix comes after any fuzzy/
+            # wildcard marker ('spark~1^2', 'fo*bar^0.5')
+            bm = re.fullmatch(r"(.+?)\^([0-9]+(?:\.[0-9]+)?)", t)
+            if bm:
+                t, boost = bm.group(1), float(bm.group(2))
             # fuzzy: word~ (2 edits, Lucene default) or word~N
             m = re.fullmatch(r"([^~]+)~([0-9]?)", t)
             if m and not any(ch in m.group(1) for ch in "*?"):
                 parts = tokenize_py(m.group(1))
                 if len(parts) != 1:
                     raise QueryParseError(f"fuzzy needs one term: {t!r}")
-                return Fuzzy(parts[0], int(m.group(2) or 2))
+                return Fuzzy(parts[0], int(m.group(2) or 2), boost=boost)
             # wildcard: '?' anywhere or '*' beyond a single trailing one
             # (which stays the cheaper Prefix); reject all-wildcard
             if ("?" in t) or ("*" in t[:-1]) or t.count("*") > 1:
                 if not t.strip("*?"):
                     raise QueryParseError(f"wildcard matches everything: {t!r}")
-                return Wildcard(t.lower())
+                return Wildcard(t.lower(), boost=boost)
         is_prefix = t.endswith("*") and len(t) > 1
         if is_prefix:
             t = t[:-1]
@@ -187,9 +197,11 @@ class _Parser:
             if not parts:
                 raise QueryParseError(f"term analyzes to nothing: {t!r}")
             if is_prefix:
-                leaves = [Term(p) for p in parts[:-1]] + [Prefix(parts[-1])]
+                leaves = [Term(p, boost=boost) for p in parts[:-1]] + [
+                    Prefix(parts[-1], boost=boost)
+                ]
             else:
-                leaves = [Term(p) for p in parts]
+                leaves = [Term(p, boost=boost) for p in parts]
             return leaves[0] if len(leaves) == 1 else And(tuple(leaves))
         return Prefix(t, field) if is_prefix else Term(t, field)
 

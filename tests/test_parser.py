@@ -207,3 +207,40 @@ def test_wildcard_fuzzy_search(spark):
             ).collect()
         }
         assert rp == want, f"row predicate {q}"
+
+
+def test_boost_parse_and_rank(spark):
+    """'^B' boost: parse on terms/prefixes/wildcards/fuzzies/phrases,
+    boosted scoring multiplies that leaf's idf, and a term matched by
+    several leaves takes the max weight (still scores once)."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.ast import Fuzzy, Phrase, Prefix, Term, Wildcard
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.parser import parse_query
+
+    assert parse_query("fast^3") == Term("fast", boost=3.0)
+    assert parse_query("fo*^2") == Prefix("fo", boost=2.0)
+    assert parse_query("f?o^2") == Wildcard("f?o", boost=2.0)
+    assert parse_query("spark~1^0.5") == Fuzzy("spark", 1, boost=0.5)
+    assert parse_query('"a b"~1^2') == Phrase(("a", "b"), slop=1, boost=2.0)
+
+    rows = [
+        ("c0", 0, "user", "fast fast fast lane", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "the the the slow lane", None, "2024-01-01 00:00:01"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+
+    def top(q):
+        return search(idx, q, k=2).collect()[0]["turn_idx"]
+
+    # equal idf both ways; boost decides the winner
+    assert top("the OR fast^5") == 0
+    assert top("the^5 OR fast") == 1
+    # overlapping leaves: exact fast^4 plus prefix fa*^2 -> max weight 4,
+    # scored once: equals the plain fast^4 score
+    s_overlap = search(idx, "fast^4 OR fa*^2", k=1).collect()[0]["score"]
+    s_plain = search(idx, "fast^4", k=1).collect()[0]["score"]
+    assert abs(s_overlap - s_plain) < 1e-9
