@@ -1174,16 +1174,40 @@ def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
-def _pipeline_sql() -> str:
+def _pipeline_sql(decontam: bool = False) -> str:
     from miru_spark.operators.sampling import duckdb_bucket
 
     b = duckdb_bucket("doc_id", "v1")
+    where = "WHERE doc_id % 20 != 0" if decontam else ""
+    gram5 = (
+        "CASE WHEN len(t) >= 5 THEN list_transform(range(len(t) - 4), "
+        "i -> array_to_string(t[i + 1:i + 5], ' ')) ELSE [] END"
+    )
+    if decontam:
+        decontam_ctes = f"""
+tg AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t FROM f3
+),
+dg AS (SELECT DISTINCT doc_id AS id, unnest({gram5}) AS gram FROM tg),
+bt AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents WHERE doc_id % 20 = 0
+),
+bg AS (SELECT DISTINCT unnest({gram5}) AS gram FROM bt),
+contam AS (SELECT DISTINCT id FROM dg JOIN bg USING (gram)),
+f4 AS (
+  SELECT f3.* FROM f3 WHERE f3.doc_id NOT IN (SELECT id FROM contam)
+),"""
+        final = "f4"
+    else:
+        decontam_ctes = ""
+        final = "f3"
     return f"""
 WITH RECURSIVE
 tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
          lower(text) AS low
-  FROM documents
+  FROM documents {where}
 ),
 qm AS (
   SELECT doc_id,
@@ -1214,7 +1238,7 @@ rep AS (
          CASE WHEN COALESCE(pdk.n_ngrams, 0) > 0
               THEN ROUND(1.0 - pdk.n_distinct / pdk.n_ngrams::DOUBLE, 4)
               ELSE 0.0 END AS rep_ratio
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM documents {where}) d
   LEFT JOIN pdk ON pdk.id = d.doc_id
 ),
 f1 AS (
@@ -1271,14 +1295,14 @@ f3 AS (
   SELECT f2.doc_id, f2.text FROM f2
   LEFT JOIN canon ON canon.id = f2.doc_id
   WHERE canon.id IS NULL OR canon.canonical = f2.doc_id
-),
+),{decontam_ctes}
 sp AS (
   SELECT doc_id,
          CASE WHEN {b} < 9000 THEN 'train'
               WHEN {b} < 9500 THEN 'val'
               ELSE 'test' END AS split,
          len(regexp_extract_all(lower(text), '[a-z0-9'']+'))::BIGINT AS n
-  FROM f3
+  FROM {final}
 ),
 c AS (
   SELECT split, doc_id AS id, n,
@@ -1296,6 +1320,30 @@ FROM c
 
 
 _register("pipeline_prepare", _q_pipeline, _pipeline_sql())
+
+
+def _q_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline with the optional decontamination stage active:
+    training input = docs outside the held-out eval slice
+    (doc_id % 20 != 0), benchmark = the slice; survivors sharing a
+    5-gram with the benchmark are dropped between near-dedup and the
+    split. Oracle replays ALL SIX stages in one DuckDB statement."""
+    from miru_spark.pipeline import prepare_training_data
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed, _ = prepare_training_data(
+        d.where(F.col("doc_id") % 20 != 0),
+        budget=512,
+        quality_min=0.47,
+        rep_max=0.5,
+        jaccard=0.5,
+        bench=d.where(F.col("doc_id") % 20 == 0),
+        contam_ngram=5,
+    )
+    return packed
+
+
+_register("pipeline_decontam", _q_pipeline_decontam, _pipeline_sql(decontam=True))
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,10 @@ pretraining pipeline actually runs, in the canonical order:
 3. **Near dedup** — n-gram Jaccard candidate pairs over the exact-level
    survivors, connected components over the pair graph, keep only each
    cluster's canonical doc (``components.dedup_corpus``).
+3b. **Decontamination** (optional, when a ``bench`` eval set is given)
+   — drop survivors sharing any token n-gram with the benchmark
+   (``textstats.decontaminate``; the benchmark gram set broadcasts, so
+   the stage is one extra scan of the already-deduped survivors).
 4. **Split** — deterministic hashed-id train/val/test assignment
    (``sampling.hash_split``; stable under corpus growth and layout).
 5. **Pack** — concat-and-chunk sequence layout per split
@@ -44,6 +48,8 @@ def prepare_training_data(
     quality_min: float = 0.3,
     rep_max: float = 0.5,
     jaccard: float = 0.5,
+    bench: DataFrame | None = None,
+    contam_ngram: int = 13,
     weights: dict[str, float] | None = None,
     salt: str = "v1",
     id_col: str = "doc_id",
@@ -109,6 +115,21 @@ def prepare_training_data(
     if collect_metrics:
         deduped = deduped.persist()
         metrics["docs_after_near_dedup"] = deduped.count()
+
+    # 3b. benchmark decontamination over the (smaller) survivor set
+    if bench is not None:
+        from miru_spark.operators.textstats import decontaminate
+
+        clean = (
+            decontaminate(deduped, bench, n=contam_ngram,
+                          id_col=id_col, text_col=text_col)
+            .where(~F.col("contaminated"))
+            .select(F.col("id").alias(id_col))
+        )
+        deduped = deduped.join(clean, id_col, "left_semi")
+        if collect_metrics:
+            deduped = deduped.persist()
+            metrics["docs_after_decontam"] = deduped.count()
 
     # 4. deterministic split, 5. per-split chunk packing
     split = hash_split(deduped, weights, salt=salt, id_col=id_col)

@@ -75,3 +75,27 @@ def test_pipeline_drops_injected_duplicates(documents, spark):
     grown, _ = prepare_training_data(documents.unionByName(clone))
     assert grown.count() == n_base
     assert grown.where(F.col("id") == 10_000_000).count() == 0
+
+
+def test_pipeline_decontam_stage(documents):
+    """With a bench set, survivors sharing an n-gram with it are gone;
+    without one, the pipeline is unchanged. The bench docs themselves
+    are never in the training input."""
+    from miru_spark.operators.textstats import decontaminate
+    from miru_spark.pipeline import prepare_training_data
+
+    train = documents.where(F.col("doc_id") % 20 != 0)
+    bench = documents.where(F.col("doc_id") % 20 == 0)
+    base, _ = prepare_training_data(train)
+    clean, m = prepare_training_data(
+        train, bench=bench, contam_ngram=5, collect_metrics=True
+    )
+    assert m["docs_after_decontam"] <= m["docs_after_near_dedup"]
+    # every surviving doc is n-gram-disjoint from the bench set
+    ids = clean.select("id").distinct()
+    flags = decontaminate(
+        train.join(ids, train["doc_id"] == ids["id"], "left_semi"), bench, n=5
+    )
+    assert flags.where(F.col("contaminated")).count() == 0
+    # decontam only ever removes docs
+    assert clean.count() <= base.count()
