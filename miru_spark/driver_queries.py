@@ -2182,6 +2182,76 @@ _register(
 )
 
 
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Lucene MoreLikeThis semantics, engine-served):
+    docint 100's top-5 tf-idf terms OR-searched, source excluded.
+    Two-phase: 5 scalar term rows collected, then the fused OR plan."""
+    from miru_spark.query.mlt import more_like_this
+
+    idx = _index_for(spark, sf_dir)
+    out = more_like_this(idx, 100, top_terms=5, k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_more_like_this",
+    _q_mlt,
+    f"""{SQL_PRELUDE},
+qt AS (
+  SELECT p.term
+  FROM post p JOIN stats s USING (term) CROSS JOIN corpus c
+  WHERE p.docint = 100
+  ORDER BY p.tf * ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5)) DESC,
+           p.term ASC
+  LIMIT 5
+),
+m AS (
+  SELECT DISTINCT p.docint FROM post p JOIN qt USING (term)
+  WHERE p.docint != 100
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, m.docint,
+       ROUND(COALESCE(ct.score, 0), 4) AS score
+FROM m
+LEFT JOIN contrib ct USING (docint)
+JOIN dl ON dl.docint = m.docint
+ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+LIMIT 10
+""",
+)
+
+
+def _q_field_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field grouping 'tool:(src2 OR src1*) AND fast' (Lucene grammar):
+    the group's leaves retarget at the metadata field, composing with
+    text scoring as usual."""
+    idx = _index_for(spark, sf_dir)
+    out = search(idx, "tool:(src2 OR src1*) AND fast", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_field_group",
+    _q_field_group,
+    _bm25_sql(
+        """SELECT p.docint FROM post p JOIN dl ON dl.docint = p.docint
+  WHERE p.term = 'fast'
+    AND (dl.tool = 'src2' OR dl.tool LIKE 'src1%')""",
+        "p.term = 'fast'",
+        10,
+    ),
+)
+
+
 def _q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene '^B' clause boost: 'fast^3' triples that term's BM25
     weight, reordering the OR's top-k (boosted queries route past the

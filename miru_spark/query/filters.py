@@ -91,6 +91,10 @@ def _is_text_leaf(n: Node) -> bool:
 
 def _meta_pred(leaf) -> Column:
     c = F.col(leaf.field)
+    if isinstance(leaf, Wildcard):
+        return c.like(like_pattern(leaf.pattern))
+    if isinstance(leaf, Fuzzy):
+        return F.levenshtein(c, F.lit(leaf.value)) <= leaf.max_edits
     if isinstance(leaf, AuthzAny):
         # any-of over the doc's authz array (MiruAuthzUtils.java:24-33:
         # composite OR of per-value bitmaps; here one arrays_overlap
@@ -148,7 +152,7 @@ class FilterEvaluator:
             return phrase_match_docs(
                 self.index, " ".join(node.values), slop=node.slop
             )
-        if isinstance(node, (Term, Prefix, Range, AuthzAny)):
+        if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
             return self._or(node.children)
@@ -292,7 +296,7 @@ def row_predicate(node: Node, tokens: Column) -> Column:
             return pred
 
         return F.exists(tokens, _in_range)
-    if isinstance(node, (Term, Prefix, Range, AuthzAny)):
+    if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy)):
         return _meta_pred(node)
     if isinstance(node, And):
         return reduce(

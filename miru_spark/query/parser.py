@@ -145,6 +145,20 @@ class _Parser:
             if len(parts) == 1:
                 return Term(parts[0], boost=boost)
             return Phrase(tuple(parts), slop=slop, boost=boost)
+        if t.endswith(":") and self.peek() == "(":
+            # field grouping, Lucene 'field:(a OR b)': parse the group,
+            # then retarget its text leaves at the field
+            f = t[:-1]
+            if not (
+                f in METADATA_FIELDS or f in RANGE_FIELDS or f == DEFAULT_FIELD
+            ):
+                raise QueryParseError(f"unknown group field: {f!r}")
+            self.next()
+            node = self.parse_or()
+            if self.peek() != ")":
+                raise QueryParseError("missing ) after field group")
+            self.next()
+            return _retarget(node, f)
         field = DEFAULT_FIELD
         if ":" in t:
             f, _, rest = t.partition(":")
@@ -238,6 +252,25 @@ class _Parser:
             if t.startswith(op) and len(t) > len(op):
                 return Range(field, lo=None, hi=t[len(op):], **kw)
         return None
+
+
+def _retarget(node: Node, field: str) -> Node:
+    """Point a field group's text leaves at ``field`` (Term/Prefix/
+    Wildcard/Fuzzy; boolean structure passes through; anything else —
+    phrases, ranges, nested groups — has no metadata meaning)."""
+    from dataclasses import replace
+
+    if isinstance(node, (Term, Prefix, Wildcard, Fuzzy)):
+        if node.field != DEFAULT_FIELD:
+            raise QueryParseError(f"nested field inside group: {node!r}")
+        return replace(node, field=field)
+    if isinstance(node, Not):
+        return Not(_retarget(node.child, field))
+    if isinstance(node, And):
+        return And(tuple(_retarget(c, field) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_retarget(c, field) for c in node.children))
+    raise QueryParseError(f"unsupported node in field group: {node!r}")
 
 
 def parse_query(q: str) -> Node:

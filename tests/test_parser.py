@@ -244,3 +244,76 @@ def test_boost_parse_and_rank(spark):
     s_overlap = search(idx, "fast^4 OR fa*^2", k=1).collect()[0]["score"]
     s_plain = search(idx, "fast^4", k=1).collect()[0]["score"]
     assert abs(s_overlap - s_plain) < 1e-9
+
+
+def test_field_group(spark):
+    """'field:(a OR b)' retargets the group's leaves (incl. wildcard/
+    fuzzy) at the metadata field; nested fields and phrases inside a
+    group are rejected."""
+    import pytest
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.ast import And, Not, Or, Prefix, Term, Wildcard
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.parser import QueryParseError, parse_query
+
+    assert parse_query("role:(user OR assistant)") == Or(
+        (Term("user", "role"), Term("assistant", "role"))
+    )
+    assert parse_query("tool:(src* AND NOT s?c2)") == And(
+        (Prefix("src", "tool"), Not(Wildcard("s?c2", "tool")))
+    )
+    with pytest.raises(QueryParseError):
+        parse_query('role:("a b")')
+    with pytest.raises(QueryParseError):
+        parse_query("role:(tool:x)")
+    with pytest.raises(QueryParseError):
+        parse_query("bogusfield:(x)")
+
+    rows = [
+        ("c0", 0, "user", "alpha beta", "hammer", "2024-01-01 00:00:00"),
+        ("c0", 1, "assistant", "alpha beta", "wrench", "2024-01-01 00:00:01"),
+        ("c0", 2, "tool", "alpha beta", None, "2024-01-01 00:00:02"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+    got = {
+        r["turn_idx"]
+        for r in search(idx, "alpha AND role:(user OR assistant)", k=10).collect()
+    }
+    assert got == {0, 1}
+    got2 = {
+        r["turn_idx"]
+        for r in search(idx, "alpha AND tool:(ham*)", k=10).collect()
+    }
+    assert got2 == {0}
+
+
+def test_more_like_this(spark):
+    """MLT: source doc's top tf-idf terms drive an OR search; the
+    source itself never answers, and similar docs rank first."""
+    import pytest
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.mlt import interesting_terms, more_like_this
+
+    rows = [
+        ("c0", 0, "user", "kafka stream consumer lag", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "kafka consumer lag monitoring", None, "2024-01-01 00:00:01"),
+        ("c1", 0, "user", "gardening tips for spring", None, "2024-01-01 00:00:02"),
+        ("c1", 1, "user", "spring flowers and gardening", None, "2024-01-01 00:00:03"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+    src = idx.docs.where("conv_id = 'c0' AND turn_idx = 0").collect()[0]["docint"]
+    terms = interesting_terms(idx, src, top_terms=3)
+    assert set(terms) <= {"kafka", "stream", "consumer", "lag"}
+    out = more_like_this(idx, src, top_terms=3, k=3).collect()
+    assert all(r["docint"] != src for r in out)
+    assert (out[0]["conv_id"], out[0]["turn_idx"]) == ("c0", 1)
+    with pytest.raises(ValueError, match="postings"):
+        interesting_terms(idx, 10**9)
