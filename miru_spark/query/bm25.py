@@ -208,6 +208,12 @@ def search(
     cursor is just ``exclude`` + the docint order.
     """
     node = parse_query(query) if isinstance(query, str) else query
+    # MultiTermQuery → TermInSet rewrite: wildcard/fuzzy leaves expand
+    # against the term dictionary so the postings access stays an
+    # equality-set probe (prunable, fusable) — see filters.expand_multiterm
+    from miru_spark.query.filters import expand_multiterm
+
+    node = expand_multiterm(index, node)
 
     ts_filter = None
     if ts_lo is not None or ts_hi is not None:

@@ -82,6 +82,44 @@ def text_leaves_pred(leaves) -> Column | None:
     return reduce(lambda a, b: a | b, preds) if preds else None
 
 
+def expand_multiterm(index: "InvertedIndex", node: Node, cap: int = 1024) -> Node:
+    """Lucene's MultiTermQuery → TermInSet rewrite: resolve text-field
+    Wildcard/Fuzzy leaves against the TERM DICTIONARY (the tiny cached
+    term-stats relation) into an OR of exact terms, BEFORE planning.
+
+    Why: a LIKE/levenshtein predicate evaluated on the postings table is
+    a full postings scan — no parquet row-group pruning, no fused plan.
+    After the rewrite the postings access is an equality-set probe
+    (min/max-prunable on the term-sorted segments) and the query joins
+    the fused single-scan class. The dictionary probe collects at most
+    ``cap`` + 1 scalar term rows per leaf; a leaf matching more than
+    ``cap`` terms keeps its scan predicate (the honest fallback — at
+    that selectivity the scan IS the right plan). A leaf matching
+    nothing becomes an impossible exact term, preserving shape."""
+    if isinstance(node, (Wildcard, Fuzzy)) and node.field == DEFAULT_FIELD:
+        matched = [
+            r["term"]
+            for r in index.terms.where(_leaf_pred(node))
+            .select("term")
+            .limit(cap + 1)
+            .collect()
+        ]
+        if len(matched) > cap:
+            return node
+        if not matched:
+            return Term("￿￿", boost=node.boost)
+        if len(matched) == 1:
+            return Term(matched[0], boost=node.boost)
+        return Or(tuple(Term(v, boost=node.boost) for v in sorted(matched)))
+    if isinstance(node, Not):
+        return Not(expand_multiterm(index, node.child, cap))
+    if isinstance(node, And):
+        return And(tuple(expand_multiterm(index, c, cap) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_multiterm(index, c, cap) for c in node.children))
+    return node
+
+
 def _is_text_leaf(n: Node) -> bool:
     return (
         isinstance(n, (Term, Prefix, Wildcard, Fuzzy))
@@ -135,7 +173,7 @@ class FilterEvaluator:
 
     def matching_docs(self, node: Node) -> DataFrame:
         """DataFrame with a single ``docint`` column (distinct)."""
-        return self._eval(node)
+        return self._eval(expand_multiterm(self.index, node))
 
     # -- node dispatch -----------------------------------------------------
 

@@ -317,3 +317,38 @@ def test_more_like_this(spark):
     assert (out[0]["conv_id"], out[0]["turn_idx"]) == ("c0", 1)
     with pytest.raises(ValueError, match="postings"):
         interesting_terms(idx, 10**9)
+
+
+def test_multiterm_rewrite(spark):
+    """Wildcard/fuzzy leaves rewrite to exact term sets against the
+    dictionary (Lucene MultiTermQuery -> TermInSet): expanded plans push
+    equality filters, results identical; over-cap leaves keep the scan
+    predicate; no-match leaves become an impossible term."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.ast import Or, Term, Wildcard
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.filters import expand_multiterm
+
+    rows = [
+        ("c0", 0, "user", "spark shuffle scan", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "small sort slow", None, "2024-01-01 00:00:01"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+
+    node = expand_multiterm(idx, Wildcard("s*a*"))
+    assert isinstance(node, Or)
+    assert all(isinstance(c, Term) for c in node.children)
+    assert {c.value for c in node.children} == {"spark", "scan", "small"}
+    # boost survives expansion
+    nb = expand_multiterm(idx, Wildcard("s*a*", boost=2.0))
+    assert all(c.boost == 2.0 for c in nb.children)
+    # cap fallback keeps the original leaf
+    assert expand_multiterm(idx, Wildcard("s*"), cap=2) == Wildcard("s*")
+    # no-match leaf becomes an impossible exact term; query answers empty
+    assert search(idx, "zz?qq", k=5).count() == 0
+    # expanded and (cap-forced) scan plans agree end-to-end
+    a = {r["docint"] for r in search(idx, "s*a*k", k=10).collect()}
+    assert a == {r["docint"] for r in search(idx, Wildcard("s*a*k"), k=10).collect()}
