@@ -35,8 +35,12 @@ def search_batch(
     spark = index.postings.sparkSession
     fused_rows = []  # (qid, leaf_id, kind, value, mode, n_leaves, k)
     fallback: list[tuple[str, str, int]] = []
+    from miru_spark.query.filters import expand_multiterm
+
     for qid, qs, k in queries:
-        node = parse_query(qs)
+        # the MultiTermQuery rewrite makes wildcard/fuzzy queries
+        # fusable into the shared scan instead of falling back
+        node = expand_multiterm(index, parse_query(qs))
         f = _fusable(node)
         if f is None:
             fallback.append((qid, qs, k))

@@ -16,6 +16,8 @@ QUERIES = [
     ("q4", "w00002 w00005 w00010", 10),
     ("q5", "w00001 AND NOT w00002", 7),  # non-fusable → fallback path
     ("q6", "w00000", 3),
+    ("q7", "w0000?", 5),  # wildcard: multiterm-rewritten, fuses
+    ("q8", "w00001~1", 5),  # fuzzy: multiterm-rewritten, fuses
 ]
 
 
