@@ -130,7 +130,8 @@ def main() -> None:
                  "ft_phrase_query", "decontaminate_docs",
                  "ft_phrase_slop", "ft_bm25_wildcard", "ft_bm25_fuzzy",
                  "ft_bm25_boost", "pipeline_decontam",
-                 "ft_more_like_this", "ft_bm25_field_group"]:
+                 "ft_more_like_this", "ft_bm25_field_group",
+                 "term_suggest"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

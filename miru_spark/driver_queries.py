@@ -2182,6 +2182,28 @@ _register(
 )
 
 
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: popularity-ranked completions of 's' from the term
+    dictionary (df DESC, term ASC) — the Lucene-suggester upgrade of
+    plain distincts_prefix enumeration."""
+    from miru_spark.query.suggest import suggest_terms
+
+    idx = _index_for(spark, sf_dir)
+    return suggest_terms(idx, "s", k=5)
+
+
+_register(
+    "term_suggest",
+    _q_suggest,
+    f"""{SQL_PRELUDE}
+SELECT term, df FROM stats
+WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC
+LIMIT 5
+""",
+)
+
+
 def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Lucene MoreLikeThis semantics, engine-served):
     docint 100's top-5 tf-idf terms OR-searched, source excluded.

@@ -55,6 +55,7 @@ def prepare_training_data(
     id_col: str = "doc_id",
     text_col: str = "text",
     collect_metrics: bool = False,
+    cache_stages: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the five-stage pipeline; returns (packed, metrics).
 
@@ -62,6 +63,15 @@ def prepare_training_data(
     seq_last) — one row per surviving doc with its packed position.
     ``metrics`` holds per-stage doc counts when ``collect_metrics``
     (each count is one extra job; leave off inside larger plans).
+
+    ``cache_stages`` persists each stage's survivor relation: every
+    stage output is consumed by SEVERAL downstream branches (exact's
+    survivors feed the pair join, the component builder AND the final
+    semi-join), and without a cache each branch re-runs the whole
+    upstream lineage — re-reading and re-tokenizing the corpus once per
+    branch (see BENCH/BASELINE.md for the measured effect at sf0.1).
+    Spark evicts blocks LRU under memory pressure, so at 100 TB the
+    cache degrades to recompute instead of failing.
     """
     from miru_spark.operators.components import dedup_corpus
     from miru_spark.operators.dedup import fingerprint, ngram_jaccard_pairs
@@ -92,8 +102,9 @@ def prepare_training_data(
     filtered = docs.join(good_q, id_col, "left_semi").join(
         good_r, id_col, "left_semi"
     )
-    if collect_metrics:
+    if cache_stages:
         filtered = filtered.persist()
+    if collect_metrics:
         metrics["docs_after_quality"] = filtered.count()
 
     # 2. exact dedup: min id per fingerprint
@@ -104,16 +115,18 @@ def prepare_training_data(
         .select(id_col)
     )
     exact = filtered.join(keep_exact, id_col, "left_semi")
-    if collect_metrics:
+    if cache_stages:
         exact = exact.persist()
+    if collect_metrics:
         metrics["docs_after_exact_dedup"] = exact.count()
 
     # 3. near dedup: pair graph -> components -> canonical survivors
     pairs = ngram_jaccard_pairs(exact, k=3, threshold=jaccard,
                                 id_col=id_col, text_col=text_col)
     deduped = dedup_corpus(exact, pairs, id_col=id_col)
-    if collect_metrics:
+    if cache_stages:
         deduped = deduped.persist()
+    if collect_metrics:
         metrics["docs_after_near_dedup"] = deduped.count()
 
     # 3b. benchmark decontamination over the (smaller) survivor set
@@ -127,8 +140,9 @@ def prepare_training_data(
             .select(F.col("id").alias(id_col))
         )
         deduped = deduped.join(clean, id_col, "left_semi")
-        if collect_metrics:
+        if cache_stages:
             deduped = deduped.persist()
+        if collect_metrics:
             metrics["docs_after_decontam"] = deduped.count()
 
     # 4. deterministic split, 5. per-split chunk packing

@@ -352,3 +352,24 @@ def test_multiterm_rewrite(spark):
     # expanded and (cap-forced) scan plans agree end-to-end
     a = {r["docint"] for r in search(idx, "s*a*k", k=10).collect()}
     assert a == {r["docint"] for r in search(idx, Wildcard("s*a*k"), k=10).collect()}
+
+
+def test_suggest_terms(spark):
+    """Autocomplete: df-ranked prefix completions, ties by term asc,
+    min_df drops the long tail."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.suggest import suggest_terms
+
+    rows = [
+        ("c0", 0, "user", "spark spark spark sort", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "spark sort slow", None, "2024-01-01 00:00:01"),
+        ("c0", 2, "user", "sort alpha", None, "2024-01-01 00:00:02"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+    got = [(r["term"], r["df"]) for r in suggest_terms(idx, "s", k=10).collect()]
+    assert got == [("sort", 3), ("spark", 2), ("slow", 1)]
+    got2 = [r["term"] for r in suggest_terms(idx, "s", k=10, min_df=2).collect()]
+    assert got2 == ["sort", "spark"]
