@@ -147,10 +147,13 @@ def proximity_match_docs(
     return out
 
 
-def search_phrase(index: InvertedIndex, phrase: str, k: int = 10) -> DataFrame:
-    """Top-k BM25 over docs containing the exact phrase."""
+def search_phrase(
+    index: InvertedIndex, phrase: str, k: int = 10, slop: int = 0
+) -> DataFrame:
+    """Top-k BM25 over docs containing the phrase (``slop`` relaxes to
+    ordered proximity, see :func:`phrase_match_docs`)."""
     terms = sorted(set(tokenize_py(phrase)))
-    matched = phrase_match_docs(index, phrase)
+    matched = phrase_match_docs(index, phrase, slop=slop)
     qterms = F.broadcast(
         index.terms.where(F.col("term").isin(terms)).select(
             "term", idf_col(F.col("df"), index.n_docs).alias("idf")
