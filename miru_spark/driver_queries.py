@@ -2274,6 +2274,27 @@ _register(
 )
 
 
+def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term '/s.a[nr]k?/' (Lucene RegexpQuery): anchored match of
+    whole dictionary terms, rewritten to an exact term set before
+    planning (scan+spark here)."""
+    idx = _index_for(spark, sf_dir)
+    out = search(idx, "/s.a[nr]k?/ AND role:user", k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_regexp",
+    _q_regexp,
+    _bm25_sql(
+        """SELECT DISTINCT p.docint FROM post p JOIN dl ON dl.docint = p.docint
+  WHERE regexp_matches(p.term, '^(?:s.a[nr]k?)$') AND dl.role = 'user'""",
+        "regexp_matches(p.term, '^(?:s.a[nr]k?)$')",
+        10,
+    ),
+)
+
+
 def _q_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene '^B' clause boost: 'fast^3' triples that term's BM25
     weight, reordering the OR's top-k (boosted queries route past the

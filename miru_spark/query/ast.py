@@ -68,6 +68,18 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Regexp:
+    """Regexp term (``/s.a[nr]k?/``, Lucene RegexpQuery syntax): the
+    pattern must match a WHOLE dictionary term (anchored). Resolved
+    against the term dictionary like Wildcard/Fuzzy and rewritten to an
+    exact term set by ``filters.expand_multiterm``."""
+
+    pattern: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """Fuzzy term (``spark~1``, ``spark~``): matches dictionary terms
     within ``max_edits`` Levenshtein distance (Lucene FuzzyQuery
@@ -136,7 +148,7 @@ def positive_text_leaves(node: Node) -> list:
     out: list = []
 
     def walk(n: Node, negated: bool) -> None:
-        if isinstance(n, (Term, Prefix, Wildcard, Fuzzy)):
+        if isinstance(n, (Term, Prefix, Wildcard, Fuzzy, Regexp)):
             if not negated and n.field == DEFAULT_FIELD:
                 out.append(n)
         elif isinstance(n, Phrase):

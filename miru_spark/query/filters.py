@@ -33,6 +33,7 @@ from miru_spark.query.ast import (
     Phrase,
     Prefix,
     Range,
+    Regexp,
     Term,
     Wildcard,
 )
@@ -61,6 +62,8 @@ def _leaf_pred(leaf) -> Column:
         return F.col("term") == leaf.value
     if isinstance(leaf, Wildcard):
         return F.col("term").like(like_pattern(leaf.pattern))
+    if isinstance(leaf, Regexp):
+        return F.col("term").rlike(f"^(?:{leaf.pattern})$")
     if isinstance(leaf, Fuzzy):
         # length band first: cheap JVM check short-circuits the
         # levenshtein for almost the whole dictionary
@@ -84,8 +87,9 @@ def text_leaves_pred(leaves) -> Column | None:
 
 def expand_multiterm(index: "InvertedIndex", node: Node, cap: int = 1024) -> Node:
     """Lucene's MultiTermQuery → TermInSet rewrite: resolve text-field
-    Wildcard/Fuzzy leaves against the TERM DICTIONARY (the tiny cached
-    term-stats relation) into an OR of exact terms, BEFORE planning.
+    Wildcard/Fuzzy/Regexp leaves against the TERM DICTIONARY (the tiny
+    cached term-stats relation) into an OR of exact terms, BEFORE
+    planning.
 
     Why: a LIKE/levenshtein predicate evaluated on the postings table is
     a full postings scan — no parquet row-group pruning, no fused plan.
@@ -96,7 +100,7 @@ def expand_multiterm(index: "InvertedIndex", node: Node, cap: int = 1024) -> Nod
     ``cap`` terms keeps its scan predicate (the honest fallback — at
     that selectivity the scan IS the right plan). A leaf matching
     nothing becomes an impossible exact term, preserving shape."""
-    if isinstance(node, (Wildcard, Fuzzy)) and node.field == DEFAULT_FIELD:
+    if isinstance(node, (Wildcard, Fuzzy, Regexp)) and node.field == DEFAULT_FIELD:
         matched = [
             r["term"]
             for r in index.terms.where(_leaf_pred(node))
@@ -122,7 +126,7 @@ def expand_multiterm(index: "InvertedIndex", node: Node, cap: int = 1024) -> Nod
 
 def _is_text_leaf(n: Node) -> bool:
     return (
-        isinstance(n, (Term, Prefix, Wildcard, Fuzzy))
+        isinstance(n, (Term, Prefix, Wildcard, Fuzzy, Regexp))
         and n.field == DEFAULT_FIELD
     )
 
@@ -131,6 +135,8 @@ def _meta_pred(leaf) -> Column:
     c = F.col(leaf.field)
     if isinstance(leaf, Wildcard):
         return c.like(like_pattern(leaf.pattern))
+    if isinstance(leaf, Regexp):
+        return c.rlike(f"^(?:{leaf.pattern})$")
     if isinstance(leaf, Fuzzy):
         return F.levenshtein(c, F.lit(leaf.value)) <= leaf.max_edits
     if isinstance(leaf, AuthzAny):
@@ -190,7 +196,7 @@ class FilterEvaluator:
             return phrase_match_docs(
                 self.index, " ".join(node.values), slop=node.slop
             )
-        if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy)):
+        if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy, Regexp)):
             return self._meta_leaf(node)
         if isinstance(node, Or):
             return self._or(node.children)
@@ -290,6 +296,9 @@ def row_predicate(node: Node, tokens: Column) -> Column:
         if isinstance(node, Wildcard):
             pat = like_pattern(node.pattern)
             return F.exists(tokens, lambda t: t.like(pat))
+        if isinstance(node, Regexp):
+            anchored = f"^(?:{node.pattern})$"
+            return F.exists(tokens, lambda t: t.rlike(anchored))
         if isinstance(node, Fuzzy):
             return F.exists(
                 tokens,
@@ -334,7 +343,7 @@ def row_predicate(node: Node, tokens: Column) -> Column:
             return pred
 
         return F.exists(tokens, _in_range)
-    if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy, Regexp)):
         return _meta_pred(node)
     if isinstance(node, And):
         return reduce(

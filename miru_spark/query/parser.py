@@ -26,6 +26,7 @@ from miru_spark.query.ast import (
     Phrase,
     Prefix,
     Range,
+    Regexp,
     Term,
     Wildcard,
 )
@@ -189,6 +190,11 @@ class _Parser:
             bm = re.fullmatch(r"(.+?)\^([0-9]+(?:\.[0-9]+)?)", t)
             if bm:
                 t, boost = bm.group(1), float(bm.group(2))
+            # regexp: /pattern/ (Lucene RegexpQuery; anchored match of
+            # a whole dictionary term; patterns with spaces or parens
+            # are beyond this lexer)
+            if t.startswith("/") and t.endswith("/") and len(t) > 2:
+                return Regexp(t[1:-1], boost=boost)
             # fuzzy: word~ (2 edits, Lucene default) or word~N
             m = re.fullmatch(r"([^~]+)~([0-9]?)", t)
             if m and not any(ch in m.group(1) for ch in "*?"):
@@ -260,7 +266,7 @@ def _retarget(node: Node, field: str) -> Node:
     phrases, ranges, nested groups — has no metadata meaning)."""
     from dataclasses import replace
 
-    if isinstance(node, (Term, Prefix, Wildcard, Fuzzy)):
+    if isinstance(node, (Term, Prefix, Wildcard, Fuzzy, Regexp)):
         if node.field != DEFAULT_FIELD:
             raise QueryParseError(f"nested field inside group: {node!r}")
         return replace(node, field=field)

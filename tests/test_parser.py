@@ -373,3 +373,45 @@ def test_suggest_terms(spark):
     assert got == [("sort", 3), ("spark", 2), ("slow", 1)]
     got2 = [r["term"] for r in suggest_terms(idx, "s", k=10, min_df=2).collect()]
     assert got2 == ["sort", "spark"]
+
+
+def test_regexp_terms(spark):
+    """'/pattern/' regexp leaves: anchored dictionary match, rewritten
+    to exact term sets, usable in field groups and as row predicates."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.ast import Or, Regexp, Term
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.filters import expand_multiterm, row_predicate
+    from miru_spark.query.parser import parse_query
+    from miru_spark.tokenize import tokens_col
+
+    assert parse_query("/sp.rk/^2") == Regexp("sp.rk", boost=2.0)
+
+    rows = [
+        ("c0", 0, "user", "spark shuffle scan", None, "2024-01-01 00:00:00"),
+        ("c0", 1, "user", "small sort slow", None, "2024-01-01 00:00:01"),
+        ("c0", 2, "assistant", "spork and scan", None, "2024-01-01 00:00:02"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    idx = InvertedIndex.build(turns, cache=False)
+
+    node = expand_multiterm(idx, Regexp("s.a[nr]k?"))
+    assert isinstance(node, Or)
+    assert {c.value for c in node.children} == {"scan", "spark"}
+
+    for q, want in [
+        ("/s.a[nr]k?/", {0, 2}),
+        ("/s.a[nr]k?/ AND role:user", {0}),
+        ("role:(/us.r/)", {0, 1}),
+    ]:
+        got = {r["turn_idx"] for r in search(idx, q, k=10).collect()}
+        assert got == want, q
+        rp = {
+            r["turn_idx"]
+            for r in turns.where(
+                row_predicate(parse_query(q), tokens_col("text"))
+            ).collect()
+        }
+        assert rp == want, f"row predicate {q}"
