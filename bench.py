@@ -131,7 +131,8 @@ def main() -> None:
                  "ft_phrase_slop", "ft_bm25_wildcard", "ft_bm25_fuzzy",
                  "ft_bm25_boost", "pipeline_decontam",
                  "ft_more_like_this", "ft_bm25_field_group",
-                 "term_suggest", "ft_bm25_regexp"]:
+                 "term_suggest", "ft_bm25_regexp",
+                 "contamination_report"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

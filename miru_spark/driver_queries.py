@@ -1322,6 +1322,53 @@ FROM c
 _register("pipeline_prepare", _q_pipeline, _pipeline_sql())
 
 
+def _q_contam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-doc contamination diagnostics: which eval docs leak
+    into the training corpus (5-grams) and how many training docs carry
+    them."""
+    from miru_spark.operators.textstats import contamination_report
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_report(
+        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=5
+    )
+
+
+_register(
+    "contamination_report",
+    _q_contam_report,
+    """
+WITH d AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+g AS (
+  SELECT id, list_transform(range(len(t) - 4),
+                            i -> array_to_string(t[i + 1:i + 5], ' ')) AS gs
+  FROM d WHERE len(t) >= 5
+),
+e AS (SELECT DISTINCT id, unnest(gs) AS gram FROM g),
+bg AS (SELECT id, gram FROM e WHERE id % 20 = 0),
+tg AS (SELECT id AS tid, gram FROM e WHERE id % 20 != 0),
+hits AS (
+  SELECT bg.id, COUNT(DISTINCT bg.gram) AS n_leaked,
+         COUNT(DISTINCT tg.tid) AS n_train_docs
+  FROM bg JOIN tg USING (gram) GROUP BY 1
+),
+pb AS (SELECT id, COUNT(*) AS n_grams FROM bg GROUP BY 1)
+SELECT d.id,
+       COALESCE(pb.n_grams, 0)::INT AS n_grams,
+       COALESCE(h.n_leaked, 0)::INT AS n_leaked,
+       COALESCE(h.n_train_docs, 0)::INT AS n_train_docs,
+       CASE WHEN COALESCE(pb.n_grams, 0) > 0
+            THEN ROUND(COALESCE(h.n_leaked, 0) / pb.n_grams::DOUBLE, 4)
+            ELSE 0.0 END AS leak_frac
+FROM d LEFT JOIN pb USING (id) LEFT JOIN hits h USING (id)
+WHERE d.id % 20 = 0
+""",
+)
+
+
 def _q_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline with the optional decontamination stage active:
     training input = docs outside the held-out eval slice

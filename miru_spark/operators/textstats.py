@@ -220,6 +220,60 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The diagnostics twin of :func:`decontaminate`, aggregated per
+    BENCHMARK doc: for each eval doc,
+
+    - ``n_grams`` — its distinct token n-grams,
+    - ``n_leaked`` — of those, how many appear in ANY training doc,
+    - ``n_train_docs`` — distinct training docs sharing ≥1 gram,
+    - ``leak_frac`` — ``n_leaked / n_grams``.
+
+    Answers "which eval items are compromised and how badly" — the
+    report a team reads before trusting a benchmark score. Same scale
+    shape as decontaminate: the (small) benchmark gram set broadcasts
+    into one join against the training gram stream; aggregation is
+    keyed on the bench doc id. Distinct-pair pre-aggregation keeps the
+    join output at (bench_gram × distinct training docs), never raw
+    occurrences."""
+    bg = _doc_ngrams(bench, n, id_col, text_col).distinct()
+    tg = _doc_ngrams(docs, n, id_col, text_col).distinct().withColumnRenamed(
+        "id", "tid"
+    )
+    hits = F.broadcast(bg).join(tg, "gram").groupBy("id").agg(
+        F.count_distinct("gram").alias("n_leaked"),
+        F.count_distinct("tid").alias("n_train_docs"),
+    )
+    per_bench = bg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        bench.select(F.col(id_col).alias("id"))
+        .join(per_bench, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("n_leaked", F.lit(0)).cast("int").alias("n_leaked"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("int").alias("n_train_docs"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_leaked", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("leak_frac"),
+        )
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 3,

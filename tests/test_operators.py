@@ -415,3 +415,38 @@ def test_decontaminate(spark, documents):
         .reset_index(drop=True)
     )
     assert a.equals(s)
+
+
+def test_contamination_report(spark, documents):
+    """Per-bench-doc leak diagnostics agree with decontaminate's
+    training-side flags: total training docs hit is consistent, and a
+    fully-leaked bench doc reports leak_frac 1.0."""
+    from miru_spark.operators.textstats import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"), (101, "qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "prefix alpha beta gamma delta epsilon end")],
+        "doc_id long, text string",
+    )
+    rep = (
+        contamination_report(train, bench, n=5)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # bench 100 has 2 distinct 5-grams, both present in training
+    assert rep.loc[100, "n_grams"] == 2 and rep.loc[100, "n_leaked"] == 2
+    assert rep.loc[100, "leak_frac"] == 1.0 and rep.loc[100, "n_train_docs"] == 2
+    assert rep.loc[101, "n_leaked"] == 0 and rep.loc[101, "leak_frac"] == 0.0
+
+    # cross-check vs decontaminate on the real corpus: a training doc is
+    # flagged iff it appears in some bench doc's n_train_docs tally
+    b = documents.where(F.col("doc_id") % 20 == 0)
+    t = documents.where(F.col("doc_id") % 20 != 0)
+    n_flagged = decontaminate(t, b, n=5).where("contaminated").count()
+    rep2 = contamination_report(t, b, n=5).toPandas()
+    assert (rep2["n_train_docs"] > 0).any() == (n_flagged > 0)
