@@ -1393,6 +1393,51 @@ def _q_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("pipeline_decontam", _q_pipeline_decontam, _pipeline_sql(decontam=True))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted resampling: keep each doc with probability equal
+    to its composite quality score — deterministic hash-Bernoulli, no
+    shuffle."""
+    from miru_spark.operators.sampling import weighted_sample
+    from miru_spark.operators.textstats import quality_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_scores(d)
+    return weighted_sample(q, "quality", id_col="id").select("id", "quality")
+
+
+def _weighted_sample_sql() -> str:
+    from miru_spark.operators.sampling import duckdb_bucket
+
+    b = duckdb_bucket("doc_id", "v1")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+         lower(text) AS low
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
+         ROUND(len(list_filter(t, x -> list_contains(
+             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+             / greatest(len(t), 1), 4) AS stop_ratio,
+         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
+             / greatest(length(low), 1), 4) AS alnum_ratio
+  FROM tok
+),
+quality AS (
+  SELECT doc_id,
+         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
+  FROM qm
+)
+SELECT doc_id AS id, q AS quality FROM quality
+WHERE {b} < ROUND(q * 10000)::INT
+"""
+
+
+_register("quality_weighted_sample", _q_weighted_sample, _weighted_sample_sql())
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic down-sampling to rebalance the corpus
     mix (keep all zh, half of en, a quarter of everything else)."""

@@ -80,6 +80,28 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     return out
 
 
+def weighted_sample(
+    docs: DataFrame,
+    prob_col: Column | str,
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with ITS OWN probability — deterministic per-doc
+    Bernoulli keyed on the hashed id, probability from ``prob_col`` (a
+    column or any expression in [0,1], e.g. a quality score or an
+    importance weight). The data-mixing primitive behind
+    quality-weighted resampling: re-runs keep exactly the same rows,
+    adding docs never flips existing ones, and the predicate is a pure
+    projection+filter (no shuffle, pushdown-friendly) like the other
+    samplers here."""
+    b = _bucket(F.col(id_col), salt)
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    # explicit round before the int cast: Spark's cast truncates while
+    # DuckDB's rounds, and float error on p*10000 sits exactly on that
+    # edge for 4-dp probabilities
+    return docs.where(b < F.round(p * BUCKETS, 0).cast("int"))
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -450,3 +450,23 @@ def test_contamination_report(spark, documents):
     n_flagged = decontaminate(t, b, n=5).where("contaminated").count()
     rep2 = contamination_report(t, b, n=5).toPandas()
     assert (rep2["n_train_docs"] > 0).any() == (n_flagged > 0)
+
+
+def test_weighted_sample(documents, spark):
+    """Per-row Bernoulli keyed on the hashed id: deterministic across
+    runs, monotone in probability, prob 0 keeps nothing, prob 1 keeps
+    everything, and adding docs never flips existing decisions."""
+    from miru_spark.operators.sampling import weighted_sample
+
+    d = documents.withColumn("p", (F.col("doc_id") % 100) / 100.0)
+    kept = weighted_sample(d, "p").select("doc_id")
+    a = {r["doc_id"] for r in kept.collect()}
+    assert a == {r["doc_id"] for r in kept.collect()}  # deterministic
+    assert weighted_sample(d, F.lit(0.0)).count() == 0
+    assert weighted_sample(d, F.lit(1.0)).count() == documents.count()
+    lo = {r["doc_id"] for r in weighted_sample(d, F.col("p") * 0.5).select("doc_id").collect()}
+    assert lo <= a  # monotone: lower prob keeps a subset
+    # growth-stable: a superset corpus keeps the same original rows
+    grown = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
+    g = {r["doc_id"] for r in weighted_sample(grown, "p").select("doc_id").collect()}
+    assert {x for x in g if x < 10_000} == a
