@@ -132,7 +132,8 @@ def main() -> None:
                  "ft_bm25_boost", "pipeline_decontam",
                  "ft_more_like_this", "ft_bm25_field_group",
                  "term_suggest", "ft_bm25_regexp",
-                 "contamination_report", "quality_weighted_sample"]:
+                 "contamination_report", "quality_weighted_sample",
+                 "chunk_documents"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -1393,6 +1393,35 @@ def _q_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("pipeline_decontam", _q_pipeline_decontam, _pipeline_sql(decontam=True))
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token windows advancing by 24 (8
+    overlap) over every document — the RAG/long-doc window primitive."""
+    from miru_spark.operators.chunking import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, size=32, overlap=8)
+
+
+_register(
+    "chunk_documents",
+    _q_chunk_docs,
+    """
+WITH d AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+s AS (
+  SELECT id, t, unnest(range(0, len(t), 24)) AS start
+  FROM d WHERE len(t) > 0
+)
+SELECT id, (start // 24)::INT AS chunk_idx, start::INT AS start,
+       len(t[start + 1:start + 32])::INT AS n_tokens,
+       array_to_string(t[start + 1:start + 32], ' ') AS chunk_text
+FROM s
+""",
+)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted resampling: keep each doc with probability equal
     to its composite quality score — deterministic hash-Bernoulli, no

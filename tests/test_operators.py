@@ -470,3 +470,45 @@ def test_weighted_sample(documents, spark):
     grown = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000))
     g = {r["doc_id"] for r in weighted_sample(grown, "p").select("doc_id").collect()}
     assert {x for x in g if x < 10_000} == a
+
+
+def test_chunk_documents(spark, documents):
+    """Sliding windows: correct starts/overlap, short tail kept, empty
+    docs skipped, reconstruction of the token stream from step-strided
+    chunks."""
+    import pytest as _pytest
+
+    from miru_spark.operators.chunking import chunk_documents
+
+    tiny = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = (
+        chunk_documents(tiny, size=4, overlap=1)
+        .toPandas()
+        .sort_values(["id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["id"] == 1]
+    assert list(d1["start"]) == [0, 3, 6, 9]  # step = size - overlap = 3
+    assert list(d1["n_tokens"]) == [4, 4, 4, 1]  # short tail kept
+    assert d1.iloc[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1.iloc[1]["chunk_text"].startswith("w3")  # overlap of 1
+    assert list(got[got["id"] == 2]["chunk_text"]) == ["a b"]
+    assert (got["id"] != 3).all()  # empty doc yields no chunks
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(tiny, size=4, overlap=4)
+
+    # corpus-level invariant: strided concat of non-overlap prefixes
+    # reconstructs every doc's token count
+    full = chunk_documents(documents, size=32, overlap=8).toPandas()
+    per_doc = full.groupby("id").apply(
+        lambda g: sum(min(24, n) if i < len(g) - 1 else n
+                      for i, n in enumerate(g.sort_values("chunk_idx")["n_tokens"]))
+        , include_groups=False)
+    from miru_spark.operators.textstats import token_counts
+    tc = token_counts(documents).toPandas().set_index("id")["n_tokens"]
+    for did, total in per_doc.items():
+        assert total == tc[did], did
