@@ -3,10 +3,12 @@
     spark-submit --py-files miru_spark.zip jobs/prepare_training_data.py \
         --input /data/documents --output /data/prepared \
         --budget 2048 [--quality-min 0.47] [--rep-max 0.5] \
-        [--jaccard 0.5] [--salt v1]
+        [--jaccard 0.5] [--salt v1] \
+        [--bench /data/eval_docs --contam-ngram 13]
 
 Reads a documents parquet (doc_id, text, ...), runs quality/repetition
-gates → exact dedup → near-dup components → hashed split → per-split
+gates → exact dedup → near-dup components → [optional benchmark
+decontamination when --bench is given] → hashed split → per-split
 chunk packing (miru_spark/pipeline.py), writes the packed layout
 partitioned by split, and prints one JSON metrics line.
 """
@@ -27,6 +29,10 @@ def main() -> None:
     ap.add_argument("--rep-max", type=float, default=0.5)
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--salt", default="v1")
+    ap.add_argument("--bench", default=None,
+                    help="eval-set parquet; survivors sharing an n-gram "
+                         "with it are dropped (decontamination stage)")
+    ap.add_argument("--contam-ngram", type=int, default=13)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -35,12 +41,15 @@ def main() -> None:
 
     spark = get_spark("miru_prepare", master=args.master)
     docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
     packed, metrics = prepare_training_data(
         docs,
         budget=args.budget,
         quality_min=args.quality_min,
         rep_max=args.rep_max,
         jaccard=args.jaccard,
+        bench=bench,
+        contam_ngram=args.contam_ngram,
         salt=args.salt,
         collect_metrics=True,
     )
