@@ -45,3 +45,36 @@ def test_corpus_equality(spark, tiny_turns, tiny_pdf):
     exp = tiny_pdf.sort_values(["conv_id", "turn_idx"])
     for row, (_, erow) in zip(got, exp.iterrows()):
         assert row["tk"] == tokenize_py(erow["text"])
+
+
+def test_fuzzed_parity():
+    """Property-based parity of the pure-Python and pandas tokenizers
+    over arbitrary unicode (hypothesis), including surrogates-adjacent
+    text, control chars and long runs of separators."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def check(s):
+        assert list(tokenize_series(pd.Series([s])))[0] == tokenize_py(s)
+
+    check()
+
+
+def test_fuzzed_spark_parity(spark):
+    """Seeded 200-string random batch through the Spark column
+    expression in ONE job, compared against tokenize_py row-by-row."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + "'-_.,;:!?/\\|()[]{} \t\n" + "éüß漢字"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, text string")
+    got = {r["i"]: r["tk"] for r in df.select("i", tokens_col("text").alias("tk")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == tokenize_py(c), repr(c)
