@@ -133,7 +133,8 @@ def main() -> None:
                  "ft_more_like_this", "ft_bm25_field_group",
                  "term_suggest", "ft_bm25_regexp",
                  "contamination_report", "quality_weighted_sample",
-                 "chunk_documents"]:
+                 "chunk_documents", "text_tfidf_keywords",
+                 "text_unigram_logprob", "text_pmi_collocations"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

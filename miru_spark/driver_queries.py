@@ -2590,3 +2590,123 @@ ORDER BY score DESC, item ASC
 LIMIT 10
 """,
 )
+
+
+# -- corpus analytics: keywords, LM-quality proxy, collocations --------------
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf keywords per document (corpus keyword extraction)."""
+    from miru_spark.operators.textstats import tfidf_keywords
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(d, k=3)
+
+
+_register(
+    "text_tfidf_keywords",
+    _q_tfidf_keywords,
+    """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+s AS (
+  SELECT id, term,
+         ROUND(tf * ln(n.n / df.df::DOUBLE), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY tfidf DESC, term ASC) AS kw_rank
+  FROM s
+)
+SELECT id, term, tfidf, kw_rank::INT AS kw_rank FROM r WHERE kw_rank <= 3
+""",
+)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document (quality filter)."""
+    from miru_spark.operators.textstats import unigram_logprob
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(d)
+
+
+_register(
+    "text_unigram_logprob",
+    _q_unigram_logprob,
+    """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cf)::DOUBLE AS t FROM cf),
+pd AS (
+  SELECT tf.id, SUM(tf.tf)::INT AS n_tokens,
+         ROUND(SUM(tf.tf * ln(cf.cf::DOUBLE / tot.t)) / SUM(tf.tf), 4)
+           AS avg_logprob
+  FROM tf JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       COALESCE(pd.n_tokens, 0) AS n_tokens,
+       COALESCE(pd.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+""",
+)
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI (phrase mining)."""
+    from miru_spark.operators.textstats import pmi_collocations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(d, min_count=5, top_n=20)
+
+
+_register(
+    "text_pmi_collocations",
+    _q_pmi_collocations,
+    """
+WITH d AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+g AS (
+  SELECT id,
+         list_transform(range(len(t) - 1),
+                        i -> array_to_string(t[i + 1:i + 2], ' ')) AS gs
+  FROM d WHERE len(t) >= 2
+),
+ge AS (SELECT unnest(gs) AS gram FROM g),
+cab AS (SELECT gram, COUNT(*) AS n FROM ge GROUP BY 1),
+btot AS (SELECT SUM(n)::DOUBLE AS b FROM cab),
+ue AS (SELECT unnest(t) AS w FROM d),
+uni AS (SELECT w, COUNT(*) AS cw FROM ue GROUP BY 1),
+ttot AS (SELECT SUM(cw)::DOUBLE AS t FROM uni),
+cand AS (
+  SELECT gram, n,
+         string_split(gram, ' ')[1] AS a, string_split(gram, ' ')[2] AS b
+  FROM cab WHERE n >= 5
+)
+SELECT cand.gram, cand.n::INT AS n,
+       ROUND(ln((cand.n / btot.b) /
+                ((ua.cw / ttot.t) * (ub.cw / ttot.t))), 4) AS pmi
+FROM cand
+JOIN uni ua ON ua.w = cand.a
+JOIN uni ub ON ub.w = cand.b
+CROSS JOIN btot CROSS JOIN ttot
+ORDER BY pmi DESC, gram ASC
+LIMIT 20
+""",
+)

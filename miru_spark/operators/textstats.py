@@ -370,3 +370,152 @@ def bpe_token_estimate(
         .otherwise(0.0)
         .alias("pieces_per_word"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tfidf, kw_rank) — top-``k`` tf·idf keywords per doc.
+
+    Classic corpus keyword extraction: ``tf(term, doc) · ln(N / df)``.
+    Both shuffles key on high-cardinality columns ((id, term) then
+    term), so Zipf skew can't hot-spot them; the per-doc top-k window
+    partitions by doc id (never a global window). Ordering ties break
+    on the ROUNDED score then term ascending — deterministic and
+    engine-portable (the oracle ranks the identically rounded value).
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= k)
+        .select("id", "term", "tfidf", "kw_rank")
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob) — unigram-LM perplexity proxy.
+
+    The classic cheap stand-in for an LM-perplexity quality filter on
+    training corpora: per-token log-probability under the corpus's own
+    unigram distribution, averaged per doc (``Σ tf·ln(cf/T) / Σ tf``).
+    Gibberish and boilerplate-heavy docs sit far from the corpus mean.
+    One (id, term) aggregation + one vocabulary-keyed join — both
+    high-cardinality keys, no broadcast assumption on the vocabulary
+    (AQE may still choose one when it fits).
+    """
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf")).collect()[0][0] or 0
+    per_doc = (
+        tf.join(cf, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cf").cast("double") / F.lit(float(max(total, 1))))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    # zero-token docs still answer, at logprob 0 (nothing to score)
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, n, pmi) — top-``top_n`` adjacent-bigram collocations by
+    pointwise mutual information: ``ln((c_ab/B) / ((c_a/T)·(c_b/T)))``.
+
+    Phrase mining over a training corpus (multi-word expressions to
+    protect from chunk splits, vocabulary candidates). Adjacent bigrams
+    only — the pair stream is linear in corpus size, never quadratic.
+    ``min_count`` drops the noise floor BEFORE the unigram joins; the
+    final top-n is a TakeOrdered over the surviving collocations, then
+    ranked client-side semantics via deterministic (pmi desc, gram asc).
+    """
+    grams = _doc_ngrams(docs, 2, id_col, text_col)
+    cab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    b_total = cab.agg(F.sum("n")).collect()[0][0] or 0
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
+    # F.get (null on out-of-bounds), NOT getItem: the join below derives
+    # an isnotnull(_b) predicate that Catalyst pushes past the agg and
+    # may evaluate BEFORE _doc_ngrams' lead-isnotnull filter — where the
+    # doc-final rows still carry 1-token grams (concat_ws skips nulls)
+    parts = F.split(F.col("gram"), " ")
+    cand = (
+        cab.where(F.col("n") >= min_count)
+        .withColumn("_a", F.get(parts, 0))
+        .withColumn("_b", F.get(parts, 1))
+    )
+    ua = uni.select(F.col("w").alias("_a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("_b"), F.col("cw").alias("cb"))
+    scored = (
+        cand.join(ua, "_a")
+        .join(ub, "_b")
+        .select(
+            "gram",
+            F.col("n").cast("int").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n") / F.lit(float(max(b_total, 1))))
+                    / (
+                        (F.col("ca") / F.lit(float(max(t_total, 1))))
+                        * (F.col("cb") / F.lit(float(max(t_total, 1))))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(top_n)

@@ -46,11 +46,28 @@ def search_batch(
             fallback.append((qid, qs, k))
             continue
         mode, leaves = f
-        # dedupe leaves (same AND semantics as the single-query path)
-        seen = sorted({(isinstance(l, Prefix), l.value) for l in leaves})
-        for i, (is_pref, val) in enumerate(seen):
+        # dedupe leaves by (kind, value) — same AND-presence semantics as
+        # the single-query path; identical leaves at different '^B'
+        # boosts collapse to one presence leaf at the MAX boost (a term
+        # matched by several leaves takes the max weight, mirroring
+        # bm25._query_term_weights)
+        lb: dict[tuple[bool, str], float] = {}
+        for l in leaves:
+            key = (isinstance(l, Prefix), l.value)
+            lb[key] = max(lb.get(key, 0.0), l.boost)
+        seen = sorted(lb.items())
+        for i, ((is_pref, val), boost) in enumerate(seen):
             fused_rows.append(
-                (qid, i, "prefix" if is_pref else "term", val, mode, len(seen), k)
+                (
+                    qid,
+                    i,
+                    "prefix" if is_pref else "term",
+                    val,
+                    boost,
+                    mode,
+                    len(seen),
+                    k,
+                )
             )
 
     parts: list[DataFrame] = []
@@ -58,7 +75,7 @@ def search_batch(
         leaves_df = spark.createDataFrame(
             fused_rows,
             "qid string, leaf_id int, kind string, value string, "
-            "mode string, n_leaves int, k int",
+            "boost double, mode string, n_leaves int, k int",
         )
         # resolve leaves → concrete terms (prefix expansion via the
         # term-stats table, exact via equi-join)
@@ -81,12 +98,16 @@ def search_batch(
         # 'w00001' plus overlapping prefix 'w0000*') must contribute its
         # BM25 weight exactly ONCE — the per-leaf rows exist only for the
         # count_distinct(leaf_id) AND-presence check. Mark one scoring
-        # row per (qid, term); the window runs over the tiny driver-built
-        # leaf table, before the postings join.
-        wlr = Window.partitionBy("qid", "term").orderBy("leaf_id")
+        # row per (qid, term), choosing the leaf with the MAX boosted
+        # weight (parity with bm25._query_term_weights); the window runs
+        # over the tiny driver-built leaf table, before the postings join.
+        resolved = resolved.withColumn("w", F.col("idf") * F.col("boost"))
+        wlr = Window.partitionBy("qid", "term").orderBy(
+            F.desc("w"), F.asc("leaf_id")
+        )
         resolved = F.broadcast(
             resolved.withColumn("_lr", F.row_number().over(wlr)).select(
-                "qid", "leaf_id", "term", "idf", "mode", "n_leaves", "k", "_lr"
+                "qid", "leaf_id", "term", "w", "mode", "n_leaves", "k", "_lr"
             )
         )
         hits = (
@@ -96,7 +117,7 @@ def search_batch(
                 F.when(F.col("_lr") == 1,
                        bm25_contrib(
                            F.col("tf").cast("double"),
-                           F.col("idf"),
+                           F.col("w"),
                            F.col("doclen").cast("double"),
                            index.avg_doclen,
                        )).otherwise(F.lit(0.0)),

@@ -67,19 +67,15 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     def text_leaves(children) -> list | None:
         out = []
         for c in children:
-            # boosted leaves carry per-term weights the fused single-agg
-            # plan doesn't model — route them to the general path
-            if (
-                isinstance(c, (Term, Prefix))
-                and c.field == "text"
-                and c.boost == 1.0
-            ):
+            # '^B' boosts fuse too: the broadcast weight table carries
+            # idf·boost per term (see _query_term_weights)
+            if isinstance(c, (Term, Prefix)) and c.field == "text":
                 out.append(c)
             else:
                 return None
         return out
 
-    if isinstance(node, (Term, Prefix)) and node.field == "text" and node.boost == 1.0:
+    if isinstance(node, (Term, Prefix)) and node.field == "text":
         return ("and", [node])
     if isinstance(node, And):
         leaves = text_leaves(node.children)
@@ -115,6 +111,35 @@ def _page_pred(after: float | None, exclude):
     return pred
 
 
+def _query_term_weights(index: InvertedIndex, leaves: list, pred) -> DataFrame:
+    """Broadcast (term, idf) weight table for positive text leaves.
+
+    With '^B' clause boosts each leaf's matched terms carry ``idf·boost``
+    and a term matched by several leaves takes the MAX weight — it still
+    scores once (the postings predicate selects rows, it doesn't multiply
+    them; see the dedup note in search()). The per-leaf union runs over
+    the small term-stats table only, never the postings."""
+    if any(l.boost != 1.0 for l in leaves):
+        from miru_spark.query.filters import _leaf_pred
+
+        parts_w = [
+            index.terms.where(_leaf_pred(l)).select(
+                "term",
+                (idf_col(F.col("df"), index.n_docs) * F.lit(l.boost)).alias("idf"),
+            )
+            for l in leaves
+        ]
+        union_w = parts_w[0]
+        for p in parts_w[1:]:
+            union_w = union_w.unionByName(p)
+        return F.broadcast(union_w.groupBy("term").agg(F.max("idf").alias("idf")))
+    return F.broadcast(
+        index.terms.where(pred).select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
+    )
+
+
 def _fused_search(
     index: InvertedIndex,
     mode: str,
@@ -133,11 +158,7 @@ def _fused_search(
         c = F.col("term").startswith(p)
         pred = c if pred is None else (pred | c)
 
-    qterms = F.broadcast(
-        index.terms.where(pred).select(
-            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
-        )
-    )
+    qterms = _query_term_weights(index, leaves, pred)
     hits = (
         index.postings.where(pred)
         .join(qterms, "term")
@@ -277,33 +298,9 @@ def search(
         topk = ranked.orderBy(F.desc("docint")).limit(k)
         return _finish(topk)
 
-    # broadcast the tiny per-query term-weight table (idf per term);
-    # with '^B' boosts, each leaf's matched terms carry idf·boost and a
-    # term matched by several leaves takes the MAX weight (it still
-    # scores once — see the dedup note above). The union runs over the
-    # small term-stats table only.
-    if any(l.boost != 1.0 for l in leaves):
-        from miru_spark.query.filters import _leaf_pred
-
-        parts_w = [
-            index.terms.where(_leaf_pred(l)).select(
-                "term",
-                (idf_col(F.col("df"), index.n_docs) * F.lit(l.boost)).alias("w"),
-            )
-            for l in leaves
-        ]
-        union_w = parts_w[0]
-        for p in parts_w[1:]:
-            union_w = union_w.unionByName(p)
-        qterms = F.broadcast(
-            union_w.groupBy("term").agg(F.max("w").alias("idf"))
-        )
-    else:
-        qterms = F.broadcast(
-            index.terms.where(pred).select(
-                "term", idf_col(F.col("df"), index.n_docs).alias("idf")
-            )
-        )
+    # broadcast the tiny per-query term-weight table (idf per term,
+    # idf·boost with '^B' — see _query_term_weights)
+    qterms = _query_term_weights(index, leaves, pred)
     # doclen rides on the posting rows — scoring touches ONLY the
     # postings table + the broadcast weights (index-only access path)
     contribs = (

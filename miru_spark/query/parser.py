@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<quoted>"[^"]*"(?:~[0-9]+)?(?:\^[0-9.]+)?)
+      | (?P<quoted>[+-]?"[^"]*"(?:~[0-9]+)?(?:\^[0-9.]+)?)
       | (?P<word>[^\s()]+)
     )""",
     re.VERBOSE,
@@ -110,12 +110,25 @@ class _Parser:
         if t in ("NOT", "-"):
             self.next()
             return Not(self.parse_unary())
+        if t == "+":
+            # bare MUST marker (the lexer splits '+(' into '+', '(')
+            self.next()
+            return self.parse_unary()
         if t.startswith("-") and len(t) > 1:
             # Lucene MUST_NOT sugar: '-term' == NOT term. The lexer emits
             # '-term' as one word token, so strip the dash here instead of
             # silently matching the positive term.
             self.toks[self.i] = t[1:]
             return Not(self.parse_atom())
+        if t.startswith("+") and len(t) > 1:
+            # Lucene MUST sugar: under this parser's default-AND
+            # conjunction (reference LuceneBackedQueryParser is
+            # constructed default-AND) every bare clause is already
+            # required, so '+clause' == clause. Strip the marker so
+            # '+role:assistant' keeps its field meaning instead of
+            # degrading to a text search for 'role assistant'.
+            self.toks[self.i] = t[1:]
+            return self.parse_unary()
         return self.parse_atom()
 
     def parse_atom(self) -> Node:

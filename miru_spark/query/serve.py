@@ -107,6 +107,10 @@ def choose_plan(
     mode, leaves = f
     if any(isinstance(l, Prefix) for l in leaves):
         return "flat"  # block paths take exact terms only
+    if any(l.boost != 1.0 for l in leaves):
+        # block-max metadata is computed with unboosted idf, so the
+        # WAND bounds don't hold under '^B' weights — flat scores those
+        return "flat"
     terms = sorted({l.value for l in leaves})
     est = estimate_postings(index, terms)
     if mode == "and" and len(terms) > 1 and est >= and_min_postings:

@@ -18,6 +18,9 @@ QUERIES = [
     ("q6", "w00000", 3),
     ("q7", "w0000?", 5),  # wildcard: multiterm-rewritten, fuses
     ("q8", "w00001~1", 5),  # fuzzy: multiterm-rewritten, fuses
+    ("q9", "w00001^2 OR w00003", 5),  # '^B' boost fuses too
+    ("q10", "w00001^2.5 AND w00004", 5),
+    ("q11", "w00001^3 OR w0000*", 5),  # boosted leaf overlapping a prefix
 ]
 
 

@@ -512,3 +512,70 @@ def test_chunk_documents(spark, documents):
     tc = token_counts(documents).toPandas().set_index("id")["n_tokens"]
     for did, total in per_doc.items():
         assert total == tc[did], did
+
+
+def test_tfidf_keywords(spark):
+    """tf·idf keyword extraction: a doc's unique heavy term outranks a
+    term shared across docs; rank is dense 1..k per doc."""
+    import math
+
+    from miru_spark.operators.textstats import tfidf_keywords
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_keywords(tiny, k=2).toPandas()
+    assert list(got.columns) == ["id", "term", "tfidf", "kw_rank"]
+    top1 = got[(got["id"] == 1) & (got["kw_rank"] == 1)].iloc[0]
+    # N=3: apple tf=2 df=1 -> 2·ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert top1["term"] == "apple"
+    assert abs(top1["tfidf"] - round(2 * math.log(3.0), 4)) < 1e-9
+    assert (got.groupby("id")["kw_rank"].max() <= 2).all()
+    assert (got.groupby("id")["kw_rank"].min() == 1).all()
+
+
+def test_unigram_logprob(spark):
+    """Unigram-LM perplexity proxy: hand-checked averages; empty docs
+    answer with n_tokens=0 / logprob 0."""
+    import math
+
+    from miru_spark.operators.textstats import unigram_logprob
+
+    tiny = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = unigram_logprob(tiny).toPandas().set_index("id").sort_index()
+    # corpus: aa:2 bb:2 cc:1, T=5
+    assert got.loc[1, "n_tokens"] == 3
+    assert abs(got.loc[1, "avg_logprob"] - round(math.log(2 / 5), 4)) < 1e-9
+    exp2 = round((math.log(2 / 5) + math.log(1 / 5)) / 2, 4)
+    assert abs(got.loc[2, "avg_logprob"] - exp2) < 1e-9
+    assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "avg_logprob"] == 0.0
+
+
+def test_pmi_collocations(spark):
+    """Adjacent-bigram PMI: two always-together pairs tie at ln(8) and
+    order by gram ascending; sub-threshold bigrams are dropped."""
+    import math
+
+    from miru_spark.operators.textstats import pmi_collocations
+
+    rows = [(i, "new york") for i in range(5)]
+    rows += [(10 + i, "big apple") for i in range(5)]
+    rows.append((99, "york big"))  # one-off bigram, below min_count
+    tiny = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(tiny, min_count=5, top_n=10).toPandas()
+    assert list(got["gram"]) == ["big apple", "new york"]
+    # B=11 bigrams total, T=22 tokens; c_ab=5, c_a=c_b=6 for york/big?
+    # no: new=5, york=6, big=6, apple=5 -> pmi(new york)=ln((5/11)/((5/22)*(6/22)))
+    exp_ny = round(math.log((5 / 11) / ((5 / 22) * (6 / 22))), 4)
+    exp_ba = round(math.log((5 / 11) / ((6 / 22) * (5 / 22))), 4)
+    assert abs(got.loc[got["gram"] == "new york", "pmi"].iloc[0] - exp_ny) < 1e-9
+    assert abs(got.loc[got["gram"] == "big apple", "pmi"].iloc[0] - exp_ba) < 1e-9
+    assert (got["n"] == 5).all()

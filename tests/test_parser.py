@@ -77,6 +77,32 @@ def test_leading_dash_is_must_not():
     )
 
 
+def test_leading_plus_is_must():
+    # Lucene MUST sugar: under the default-AND grammar '+clause' ==
+    # clause — but it must preserve the clause's meaning ('+role:x'
+    # previously degraded to a text search for 'role x')
+    assert parse_query("+alpha +beta") == And((Term("alpha"), Term("beta")))
+    assert parse_query("+role:assistant alpha") == And(
+        (Term("assistant", "role"), Term("alpha"))
+    )
+    # bare '+' before a group (the lexer splits '+(' into '+', '(')
+    assert parse_query("+(alpha OR beta) -gamma") == And(
+        (Or((Term("alpha"), Term("beta"))), Not(Term("gamma")))
+    )
+
+
+def test_signed_phrases():
+    from miru_spark.query.ast import Phrase
+
+    # the quoted lexeme accepts a +/- sign so signed phrases stay intact
+    assert parse_query('+"hash join" scan') == And(
+        (Phrase(("hash", "join")), Term("scan"))
+    )
+    assert parse_query('-"hash join" scan') == And(
+        (Not(Phrase(("hash", "join"))), Term("scan"))
+    )
+
+
 def test_range_and_authz_syntax():
     from miru_spark.query.ast import AuthzAny, Range
 
