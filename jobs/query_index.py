@@ -27,17 +27,27 @@ def main() -> None:
         help="serve a store snapshot (a saved SegmentStore.snapshot_id); "
         "errors if compaction has expired it",
     )
+    ap.add_argument(
+        "--flat",
+        action="store_true",
+        help="read a single-segment InvertedIndex directory (the "
+        "build_index.py --flat layout) instead of the sharded store",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    from miru_spark.index import InvertedIndex
     from miru_spark.indexing.incremental import SegmentStore
     from miru_spark.query.bm25 import search
     from miru_spark.session import get_spark
 
     spark = get_spark("miru_query", master=args.master)
-    idx = SegmentStore(spark, args.index, n_shards=args.shards).load(
-        as_of=args.as_of
-    )
+    if args.flat:
+        idx = InvertedIndex.load(spark, args.index)
+    else:
+        idx = SegmentStore(spark, args.index, n_shards=args.shards).load(
+            as_of=args.as_of
+        )
     out = search(
         idx,
         args.query,
