@@ -134,7 +134,8 @@ def main() -> None:
                  "term_suggest", "ft_bm25_regexp",
                  "contamination_report", "quality_weighted_sample",
                  "chunk_documents", "text_tfidf_keywords",
-                 "text_unigram_logprob", "text_pmi_collocations"]:
+                 "text_unigram_logprob", "text_pmi_collocations",
+                 "dedup_survivors", "embedding_clusters"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

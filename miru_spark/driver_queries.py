@@ -2710,3 +2710,102 @@ ORDER BY pmi DESC, gram ASC
 LIMIT 20
 """,
 )
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor per near-dup cluster: keep the HIGHEST
+    composite-quality member (ties by lowest id) instead of the blind
+    lowest-id canonical. Oracle = the recursive-CTE component map joined
+    to the quality CTE with an ordered-list arg-max."""
+    from miru_spark.operators.components import survivor_docs
+    from miru_spark.operators.dedup import ngram_jaccard_pairs
+    from miru_spark.operators.textstats import quality_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    q = quality_scores(d).select("id", "quality")
+    return survivor_docs(pairs, q)
+
+
+_register(
+    "dedup_survivors",
+    _q_dedup_survivors,
+    _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes za ON za.id = s.id_a
+  JOIN sizes zb ON zb.id = s.id_b
+  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
+),
+comp AS (
+  SELECT id AS doc_id, LEAST(id, MIN(lbl)) AS component
+  FROM reach GROUP BY id
+),
+qtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+         lower(text) AS low
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
+         ROUND(len(list_filter(t, x -> list_contains(
+             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+             / greatest(len(t), 1), 4) AS stop_ratio,
+         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
+             / greatest(length(low), 1), 4) AS alnum_ratio
+  FROM qtok
+),
+quality AS (
+  SELECT doc_id,
+         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
+  FROM qm
+),
+jq AS (
+  SELECT c.doc_id, c.component, quality.q
+  FROM comp c JOIN quality ON quality.doc_id = c.doc_id
+),
+surv AS (
+  SELECT component,
+         (list(doc_id ORDER BY q DESC, doc_id ASC))[1] AS survivor_id
+  FROM jq GROUP BY component
+)
+SELECT jq.doc_id, surv.survivor_id
+FROM jq JOIN surv USING (component)
+""",
+)
+
+
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings table → (vec_id, cluster,
+    sim). No SQL oracle by nature (iterative Lloyd's training); pytest
+    asserts determinism, partition totality, and blob separation."""
+    from miru_spark.operators.similarity import cluster_embeddings
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_embeddings(e, n_clusters=8, sample=2048, seed=42)
+
+
+_register("embedding_clusters", _q_embedding_clusters, None)

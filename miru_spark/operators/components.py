@@ -146,3 +146,38 @@ def dedup_corpus(
             "left_anti",
         )
     )
+
+
+def survivor_docs(
+    edges: DataFrame,
+    quality: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    quality_id: str = "id",
+    quality_col: str = "quality",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, survivor_id) — quality-aware canonical pick per cluster.
+
+    ``canonical_docs`` keeps the LOWEST id of each duplicate component
+    (stable, but blind); real pipelines keep the BEST member — the one
+    with the highest quality score, ties broken by lowest id. One
+    ``max_by`` aggregation per component replaces a window: ``struct``
+    comparison is lexicographic, so ``max_by(id, (q, -id))`` is exactly
+    (quality desc, id asc). A giant component is one skewed groupBy key;
+    AQE's skew handling splits the partial aggregation.
+    """
+    comp = connected_components(edges, id_a, id_b, max_iter)
+    j = comp.join(
+        quality.select(
+            F.col(quality_id).alias("id"), F.col(quality_col).alias("q")
+        ),
+        "id",
+    )
+    surv = j.groupBy("component").agg(
+        F.expr("max_by(id, struct(q, -id))").alias("survivor_id")
+    )
+    return (
+        j.join(surv, "component")
+        .select(F.col("id").alias("doc_id"), "survivor_id")
+    )

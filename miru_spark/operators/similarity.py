@@ -571,3 +571,56 @@ class IvfIndex:
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k)
         )
+
+
+def cluster_embeddings(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 15,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, sim) — spherical k-means corpus clustering.
+
+    Semantic corpus segmentation for training-data pipelines: topic
+    balancing, per-cluster sampling quotas, cluster-aware near-dedup.
+    Reuses the IVF coarse-quantizer recipe (:func:`_train_centroids`):
+    centroids train driver-side on a bounded deterministic sample
+    (lowest-xxhash rows — FAISS trains IVF on ~256 vectors/list), then
+    assignment runs distributed in ONE Arrow-batched pass with the
+    centroid matrix riding the closure (n_clusters·dim floats). ``sim``
+    is the cosine to the assigned centroid, rounded 4dp — the
+    confidence/outlier signal.
+    """
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C = _train_centroids(X, n_lists=n_clusters, iters=iters, seed=seed)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = Xb / np.maximum(
+                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
+            )
+            sims = Xn @ C.T
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cluster": best.astype(np.int32),
+                    "sim": np.round(sims[np.arange(len(best)), best], 4),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, cluster int, sim double"
+    )

@@ -579,3 +579,59 @@ def test_pmi_collocations(spark):
     assert abs(got.loc[got["gram"] == "new york", "pmi"].iloc[0] - exp_ny) < 1e-9
     assert abs(got.loc[got["gram"] == "big apple", "pmi"].iloc[0] - exp_ba) < 1e-9
     assert (got["n"] == 5).all()
+
+
+def test_cluster_embeddings(spark):
+    """Spherical k-means: two well-separated blobs split into exactly
+    two clusters, assignment is a total partition, repeat runs agree."""
+    import numpy as np
+
+    from miru_spark.operators.similarity import cluster_embeddings
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.05, size=(40, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.05, size=(40, 4))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        cluster_embeddings(emb, n_clusters=2, sample=80, iters=10, seed=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 80 and got["vec_id"].is_unique
+    assert set(got["cluster"]) == {0, 1}
+    # each blob is pure: all of a in one cluster, all of b in the other
+    ca = set(got.loc[got["vec_id"] < 40, "cluster"])
+    cb = set(got.loc[got["vec_id"] >= 40, "cluster"])
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    assert (got["sim"] > 0.99).all()  # tight blobs hug their centroid
+    again = (
+        cluster_embeddings(emb, n_clusters=2, sample=80, iters=10, seed=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (again["cluster"] == got["cluster"]).all()
+
+
+def test_survivor_docs(spark):
+    """Quality-aware survivor: the highest-quality member of each
+    component wins; ties break to the lowest id."""
+    from miru_spark.operators.components import survivor_docs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4)],
+        "id long, quality double",
+    )
+    got = (
+        survivor_docs(edges, quality)
+        .toPandas()
+        .set_index("doc_id")["survivor_id"]
+        .sort_index()
+    )
+    assert got.loc[1] == got.loc[2] == got.loc[3] == 2  # best quality
+    assert got.loc[10] == got.loc[11] == 10  # tie -> lowest id
