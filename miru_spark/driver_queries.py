@@ -285,6 +285,51 @@ _register(
 )
 
 
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed top-k (query/collapse.py): one best-scoring turn
+    per conversation, top-k conversations — Lucene/Solr collapse, the
+    scored upgrade of the reference's group-by-latest representative walk
+    (AggregateCounts.java:93-384). One groupBy(conv) struct-max + a
+    TakeOrdered heap; no window over the full answer set."""
+    from miru_spark.query.collapse import search_collapse
+
+    idx = _index_for(spark, sf_dir)
+    out = search_collapse(idx, "hash OR merge", k=10, group_col="conv_id")
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_collapse",
+    _q_collapse,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('hash','merge') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+scored AS (
+  SELECT m.docint, COALESCE(ct.score, 0) AS score
+  FROM m LEFT JOIN contrib ct USING (docint)
+),
+ranked AS (
+  SELECT dl.conv_id, dl.turn_idx, s.docint, s.score,
+         ROW_NUMBER() OVER (PARTITION BY dl.conv_id
+                            ORDER BY s.score DESC, s.docint DESC) AS rn
+  FROM scored s JOIN dl ON dl.docint = s.docint
+)
+SELECT conv_id, turn_idx, docint, ROUND(score, 4) AS score
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, docint DESC
+LIMIT 10
+""",
+)
+
+
 def _q_tsrange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range mask (reference MiruBitmaps.buildTimeRangeMask,
     miru-plugin/.../bitmap/MiruBitmaps.java:141): BM25 top-k restricted

@@ -140,15 +140,14 @@ def _query_term_weights(index: InvertedIndex, leaves: list, pred) -> DataFrame:
     )
 
 
-def _fused_search(
+def _fused_scored(
     index: InvertedIndex,
     mode: str,
     leaves: list,
-    k: int,
     ts_filter,
-    after: float | None = None,
-    exclude=None,
 ) -> DataFrame:
+    """Unlimited (docint, score) for a fusable AND/OR query — everything
+    of the fused plan except pagination and the top-k heap."""
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
     prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
     pred = None
@@ -193,12 +192,95 @@ def _fused_search(
     if index.tombstones is not None:
         # removal mask (reference MiruAggregateUtil.java:1140)
         agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
+    return agg.select("docint", "score")
+
+
+def _fused_search(
+    index: InvertedIndex,
+    mode: str,
+    leaves: list,
+    k: int,
+    ts_filter,
+    after: float | None = None,
+    exclude=None,
+) -> DataFrame:
+    agg = _fused_scored(index, mode, leaves, ts_filter)
     page = _page_pred(after, exclude)
     if page is not None:
         agg = agg.where(page)
     return (
         agg.orderBy(F.desc("score"), F.desc("docint"))
         .limit(k)
+        .select("docint", "score")
+    )
+
+
+def scored_matches(
+    index: InvertedIndex,
+    query: str | Node,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """Every matching doc with its BM25 score — (docint, score), no
+    top-k, no pagination, no metadata join.
+
+    The building block for result shapes that rank something other than
+    individual docs (field collapsing, per-group top-k, aggregations over
+    the scored answer set). Same semantics as :func:`search`'s bm25
+    strategy before the heap: tombstones masked, time-range mask applied,
+    matched docs with no positive term score 0.0 (FullText.java:139)."""
+    node = parse_query(query) if isinstance(query, str) else query
+    from miru_spark.query.filters import expand_multiterm
+
+    node = expand_multiterm(index, node)
+
+    ts_filter = None
+    if ts_lo is not None or ts_hi is not None:
+        in_range = index.docs
+        if ts_lo is not None:
+            in_range = in_range.where(F.col("ts") >= F.lit(ts_lo))
+        if ts_hi is not None:
+            in_range = in_range.where(F.col("ts") <= F.lit(ts_hi))
+        ts_filter = in_range.select("docint")
+
+    fused = _fusable(node)
+    if fused is not None:
+        return _fused_scored(index, fused[0], fused[1], ts_filter)
+
+    ev = FilterEvaluator(index)
+    matched = ev.matching_docs(node)
+    if index.tombstones is not None:
+        matched = matched.join(
+            index.tombstones.select("docint"), "docint", "left_anti"
+        )
+    if ts_filter is not None:
+        matched = matched.join(ts_filter, "docint", "left_semi")
+
+    leaves = list(dict.fromkeys(positive_text_leaves(node)))
+    pred = text_leaves_pred(leaves)
+    if pred is None:
+        return matched.select("docint", F.lit(0.0).alias("score"))
+
+    qterms = _query_term_weights(index, leaves, pred)
+    contribs = (
+        index.postings.where(pred)
+        .join(qterms, "term")
+        .join(matched, "docint", "left_semi")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+        .groupBy("docint")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        matched.join(contribs, "docint", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
         .select("docint", "score")
     )
 
