@@ -1538,6 +1538,48 @@ WHERE {b} < (CASE lang WHEN 'zh' THEN 1.0 WHEN 'en' THEN 0.5
 _register("stratified_sample_lang", _q_stratified_sample, _stratified_sample_sql())
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mixture sampling (operators/sampling.py mixture_sample):
+    down-sample sources so surviving token mass approaches the target
+    recipe (src1:50%, src2:30%, src3:20% of a 2000-token budget; other
+    sources dropped). One tiny per-source agg collected driver-side,
+    then a shuffle-free hash-Bernoulli filter."""
+    from miru_spark.operators.sampling import mixture_sample
+    from miru_spark.tokenize import tokens_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.withColumn("n_tokens", F.size(tokens_col(F.col("text"))).cast("bigint"))
+    kept = mixture_sample(
+        d, weights={"src1": 0.5, "src2": 0.3, "src3": 0.2}, budget_tokens=2000
+    )
+    return kept.select("doc_id", "source", "n_tokens")
+
+
+def _mixture_sample_sql() -> str:
+    from miru_spark.operators.sampling import duckdb_bucket
+
+    b = duckdb_bucket("k.doc_id", "v1")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9'']+'))::BIGINT AS n_tokens
+  FROM documents
+),
+tot AS (SELECT source, SUM(n_tokens)::BIGINT AS st FROM toks GROUP BY 1),
+w(source, wt) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+rates AS (
+  SELECT t.source, LEAST(1.0, w.wt * 2000 / t.st) AS rate
+  FROM tot t JOIN w USING (source)
+)
+SELECT k.doc_id, k.source, k.n_tokens
+FROM toks k JOIN rates r USING (source)
+WHERE {b} < ROUND(r.rate * 10000)::INT
+"""
+
+
+_register("mixture_sample_sources", _q_mixture_sample, _mixture_sample_sql())
+
+
 def _q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom set-containment (BloomIndex.java:34-120 semantics): 64-bit
     per-doc bloom prefilter prunes the corpus with a bitwise scan, exact

@@ -102,6 +102,66 @@ def weighted_sample(
     return docs.where(b < F.round(p * BUCKETS, 0).cast("int"))
 
 
+def mixture_thresholds(
+    totals: dict[str, int], weights: dict[str, float], budget_tokens: int
+) -> dict[str, int]:
+    """Per-stratum keep-threshold (exclusive bucket bound) for a target
+    token mixture: rate_s = min(1, w_s · budget / tokens_s), half-up to
+    a bucket count. Pure arithmetic on the collected per-stratum totals
+    so the DuckDB oracle (LEAST + ROUND on the same doubles) reproduces
+    the thresholds bit-for-bit."""
+    import math
+
+    out: dict[str, int] = {}
+    for s, wt in weights.items():
+        st = totals.get(s)
+        if not st:
+            continue
+        rate = min(1.0, wt * budget_tokens / st)
+        # half-up (floor(x+.5)) == Spark F.round == DuckDB ROUND; Python's
+        # built-in round() is banker's and would drift on exact halves
+        out[s] = int(math.floor(rate * BUCKETS + 0.5))
+    return out
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    strata_col: str = "source",
+    token_col: str = "n_tokens",
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample to a target token MIXTURE: keep a deterministic fraction of
+    each stratum (source/domain) so the surviving token mass approaches
+    ``weights[s] · budget_tokens`` per stratum — the data-mixing step
+    that turns raw crawl proportions into a training recipe (strata not
+    listed in ``weights`` are dropped).
+
+    Two jobs at any scale: ONE tiny aggregation (n_strata rows collected
+    to the driver — same constant-size collect as the WAND floor) to
+    learn per-stratum token totals, then a pure projection+filter pass
+    keyed on the hashed doc id — no shuffle on the corpus, predicate
+    pushes to the scan, growth-stable like every sampler here. A stratum
+    with fewer tokens than its target keeps everything (rate clamps
+    at 1)."""
+    totals = {
+        r[0]: r[1]
+        for r in docs.groupBy(strata_col).agg(F.sum(token_col)).collect()
+        if r[0] is not None and r[1] is not None
+    }
+    thresholds = mixture_thresholds(totals, weights, budget_tokens)
+    if not thresholds:
+        return docs.where(F.lit(False))
+    b = _bucket(F.col(id_col), salt)
+    thr: Column | None = None
+    for s, t in thresholds.items():
+        cond = F.col(strata_col) == s
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    return docs.where(b < thr.otherwise(F.lit(0)))
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -97,3 +97,39 @@ def test_stratified_sample_rates(spark):
     assert counts["zh"] == 10000
     assert counts["en"] == pytest.approx(5000, rel=0.05)
     assert "de" not in counts
+
+
+def test_mixture_sample_targets_token_mass(spark):
+    from miru_spark.operators.sampling import mixture_sample, mixture_thresholds
+
+    docs = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "code")
+        .otherwise("books")
+        .alias("source"),
+        F.lit(100).cast("bigint").alias("n_tokens"),
+    )
+    # 1M tokens per source; recipe: web 50%, code 25% of a 1M budget
+    out = mixture_sample(
+        docs, weights={"web": 0.5, "code": 0.25}, budget_tokens=1_000_000
+    )
+    mass = {
+        r["source"]: r["sum(n_tokens)"]
+        for r in out.groupBy("source").sum("n_tokens").collect()
+    }
+    assert "books" not in mass  # unlisted stratum dropped
+    assert mass["web"] == pytest.approx(500_000, rel=0.05)
+    assert mass["code"] == pytest.approx(250_000, rel=0.05)
+    # clamp: target above stratum size keeps everything, deterministically
+    clamped = mixture_sample(docs, weights={"web": 5.0}, budget_tokens=1_000_000)
+    assert clamped.count() == 10000
+    # re-run + repartition give the identical row set
+    again = mixture_sample(
+        docs.repartition(13), weights={"web": 0.5, "code": 0.25},
+        budget_tokens=1_000_000,
+    )
+    assert again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+    # threshold math is the documented half-up bucket bound
+    thr = mixture_thresholds({"web": 1_000_000}, {"web": 0.5}, 1_000_000)
+    assert thr == {"web": 5000}
