@@ -1580,6 +1580,45 @@ WHERE {b} < ROUND(r.rate * 10000)::INT
 _register("mixture_sample_sources", _q_mixture_sample, _mixture_sample_sql())
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal join (operators/asof.py): every purchase event
+    attached to the same user's latest at-or-before click — the
+    two-stream generalization of the reference's time-index probe
+    (LabTimeIndex.getClosestId). One shuffle (window keyed on user)."""
+    from miru_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        on="user_id",
+        payload_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_ref").alias("click_event_id"),
+        F.col("value_ref").alias("click_value"),
+    )
+
+
+_register(
+    "asof_purchase_click",
+    _q_asof,
+    """
+WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id,
+       r.event_id AS click_event_id, r.value AS click_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+
+
 def _q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom set-containment (BloomIndex.java:34-120 semantics): 64-bit
     per-doc bloom prefilter prunes the corpus with a bitwise scan, exact

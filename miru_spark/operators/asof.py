@@ -1,0 +1,93 @@
+"""As-of (temporal) join: each probe row matched to the latest
+reference row at-or-before its timestamp, per key.
+
+The reference engine's time index answers exactly this probe shape for
+a single stream — ``LabTimeIndex.getClosestId`` binary-searches the
+monotonic (timestamp ↔ docId) map to the newest id at-or-before a
+bound (``miru-service/.../index/lab/LabTimeIndex.java:187-227``, used
+by the waveform bucketizer and the time-range mask). This operator is
+the two-stream generalization every event/feature pipeline needs:
+attach the most recent prior state (click, price, sensor reading) to
+each event without an equi-join key on time.
+
+Spark-first plan (no ``crossJoin``, no per-row lookup, no UDF):
+
+1. union probe + reference rows with a side marker, reference payload
+   as one struct column (null on probe rows);
+2. ONE window per key ordered by (ts, side) with a running
+   ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+   frame — a streaming frame Spark evaluates in O(rows) without
+   buffering the partition;
+3. keep probe rows, unpack the carried payload.
+
+One shuffle total (the window's hash partition on the key), identical
+cost shape to a co-partitioned merge join. Keys are users/entities —
+cardinality in the millions at 100 TB, so the partition count scales
+with the data, and a hot key degrades to a per-key linear scan, never
+a quadratic pair blowup. Inclusive semantics (reference.ts == probe.ts
+matches) — the same bound DuckDB's ``ASOF JOIN ... >=`` uses, which is
+the oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    suffix: str = "_ref",
+    tolerance=None,
+) -> DataFrame:
+    """Inner as-of join: probe rows that have a reference row
+    at-or-before their ``ts_col`` on the same ``on`` key, with the
+    latest such reference's ``payload_cols`` appended as
+    ``<col><suffix>``.
+
+    ``tolerance`` (optional, same type arithmetic as ``ts_col`` -
+    e.g. a ``INTERVAL`` string for timestamps) drops matches older
+    than ``probe.ts - tolerance``.
+    """
+    payload_cols = payload_cols or [
+        c for c in reference.columns if c not in (on,)
+    ]
+    if ts_col not in payload_cols:
+        payload_cols = [*payload_cols, ts_col]
+
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    r = reference.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        pay.alias("_pay"),
+        F.lit(0).alias("_side"),
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        *probe_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        F.lit(1).alias("_side"),
+    )
+    u = p.unionByName(r, allowMissingColumns=True)
+
+    # side 0 sorts before side 1 at equal ts => inclusive (ref.ts <= probe.ts);
+    # _pay as the final key makes the winner among equal-ts reference rows
+    # deterministic (struct ordering = max payload)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side", "_pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+    out = carried.where((F.col("_side") == 1) & F.col("_m").isNotNull())
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        out = out.where(F.col(f"_m.{ts_col}") >= F.col("_ts") - tol)
+    sel = [F.col(c) for c in probe_cols]
+    sel += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload_cols]
+    return out.select(*sel)
