@@ -1619,6 +1619,43 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 )
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/asof.py range_join): all clicks within
+    the day before each purchase, per user — bucketed equi-join rewrite
+    of the theta range predicate (never a cartesian plan), aggregated
+    per purchase."""
+    from miru_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = range_join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.where(F.col("event_type") == "click").select("user_id", "ts", "value"),
+        window_seconds=86400.0,
+        on="user_id",
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value_ref"), 4).alias("click_value_sum"),
+    )
+
+
+_register(
+    "range_join_clicks",
+    _q_range_join,
+    """
+WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, COUNT(*)::BIGINT AS n_clicks,
+       ROUND(SUM(r.value), 4) AS click_value_sum
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 DAY AND r.ts <= l.ts
+GROUP BY 1, 2
+""",
+)
+
+
 def _q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom set-containment (BloomIndex.java:34-120 semantics): 64-bit
     per-doc bloom prefilter prunes the corpus with a bitwise scan, exact

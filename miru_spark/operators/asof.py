@@ -91,3 +91,58 @@ def asof_join(
     sel = [F.col(c) for c in probe_cols]
     sel += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload_cols]
     return out.select(*sel)
+
+
+def range_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    window_seconds: float,
+    on: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Interval join: pair each probe row with EVERY reference row of
+    the same key inside ``[probe.ts - window, probe.ts]`` (inclusive).
+
+    The naive plan is a theta-join Spark can only execute as a
+    broadcast-nested-loop or cartesian product — the all-pairs
+    anti-pattern. This is the bucketed rewrite every streaming engine
+    uses for interval joins: quantize time into window-sized buckets,
+    emit each reference row under its own bucket AND the next one (a
+    probe's window can only span those two), equi-join on
+    ``(key, bucket)``, then apply the exact range predicate. Join
+    fan-in per task is bounded by (key, 2·window) density — linear in
+    matching pairs, never quadratic in the corpus; one shuffle keyed on
+    ``(key, bucket)``.
+
+    Returns probe columns + the matched reference row's non-key columns
+    suffixed ``_ref`` (inner semantics: unmatched probes drop out).
+    """
+    us = int(round(window_seconds * 1_000_000))
+
+    def _to_us(frame, c):
+        # timestamp/timestamp_ntz -> epoch micros; numeric -> seconds
+        dt = dict(frame.dtypes)[ts_col]
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return (c.cast("double") * F.lit(1_000_000)).cast("long")
+
+    p = probe.withColumn("_pts", _to_us(probe, F.col(ts_col))).withColumn(
+        "_bkt", F.floor(F.col("_pts") / F.lit(us))
+    )
+    ref_cols = [c for c in reference.columns if c != on]
+    r = (
+        reference.withColumn("_rts", _to_us(reference, F.col(ts_col)))
+        .withColumn("_rbkt", F.floor(F.col("_rts") / F.lit(us)))
+        # a probe in bucket b can reach reference rows in b and b-1
+        .withColumn("_bkt", F.explode(F.array(F.col("_rbkt"), F.col("_rbkt") + 1)))
+        .select(
+            F.col(on),
+            "_bkt",
+            "_rts",
+            *[F.col(c).alias(f"{c}_ref") for c in ref_cols],
+        )
+    )
+    joined = p.join(r, [on, "_bkt"]).where(
+        (F.col("_rts") >= F.col("_pts") - F.lit(us)) & (F.col("_rts") <= F.col("_pts"))
+    )
+    return joined.drop("_pts", "_bkt", "_rts")

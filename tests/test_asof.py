@@ -63,3 +63,48 @@ def test_asof_equal_ts_refs_deterministic(spark):
     }
     # struct-max tiebreak: always the same winner regardless of layout
     assert outs == {"z"}
+
+
+def test_range_join_window_edges(spark):
+    from miru_spark.operators.asof import range_join
+
+    probe = spark.createDataFrame(
+        [(1, 100.0, "p1"), (1, 229.0, "p2")], "user_id int, ts double, pid string"
+    )
+    ref = spark.createDataFrame(
+        # p1 window [40,100]: 40 in (inclusive lo), 39.999999 out,
+        # 100 in (inclusive hi), 100.5 out. p2 window [169,229]: 170 in —
+        # and it lives in bucket 2 while p2 is in bucket 3 (the straddle
+        # the b-1 emission covers). Key 2 never matches.
+        [(1, 40.0, "in_lo"), (1, 39.999999, "out_lo"), (1, 100.0, "in_hi"),
+         (1, 100.5, "out_hi"), (1, 170.0, "in_prev_bucket"), (2, 90.0, "other_key")],
+        "user_id int, ts double, tag string",
+    )
+    out = range_join(probe, ref, window_seconds=60.0, on="user_id")
+    got = sorted((r["pid"], r["tag_ref"]) for r in out.collect())
+    assert got == [("p1", "in_hi"), ("p1", "in_lo"), ("p2", "in_prev_bucket")]
+
+
+def test_range_join_matches_naive(spark):
+    from miru_spark.operators.asof import range_join
+
+    probe = spark.range(0, 200).select(
+        (F.col("id") % 7).cast("int").alias("user_id"),
+        (F.col("id") * 3.7).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    ref = spark.range(0, 300).select(
+        (F.col("id") % 7).cast("int").alias("user_id"),
+        (F.col("id") * 2.3).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    fast = range_join(probe, ref, window_seconds=10.0, on="user_id")
+    naive = (
+        probe.alias("l")
+        .join(ref.withColumnRenamed("ts", "rts").alias("r"), "user_id")
+        .where((F.col("rts") >= F.col("ts") - 10.0) & (F.col("rts") <= F.col("ts")))
+        .select("pid", F.col("rid").alias("rid_naive"))
+    )
+    a = sorted((r["pid"], r["rid_ref"]) for r in fast.collect())
+    b = sorted((r["pid"], r["rid_naive"]) for r in naive.collect())
+    assert a == b and len(a) > 0
