@@ -41,6 +41,9 @@ def main() -> None:
     from miru_spark.query.bm25 import search
     from miru_spark.session import get_spark
 
+    if args.flat and args.as_of is not None:
+        ap.error("--as-of requires the sharded store; a --flat index has no snapshots")
+
     spark = get_spark("miru_query", master=args.master)
     if args.flat:
         idx = InvertedIndex.load(spark, args.index)

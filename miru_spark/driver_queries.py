@@ -313,18 +313,20 @@ contrib AS (
   GROUP BY 1
 ),
 scored AS (
-  SELECT m.docint, COALESCE(ct.score, 0) AS score
+  SELECT m.docint, COALESCE(ct.score, 0) AS s
   FROM m LEFT JOIN contrib ct USING (docint)
 ),
 ranked AS (
-  SELECT dl.conv_id, dl.turn_idx, s.docint, s.score,
+  SELECT dl.conv_id, dl.turn_idx, sc.docint, sc.s,
          ROW_NUMBER() OVER (PARTITION BY dl.conv_id
-                            ORDER BY s.score DESC, s.docint DESC) AS rn
-  FROM scored s JOIN dl ON dl.docint = s.docint
+                            ORDER BY sc.s DESC, sc.docint DESC) AS rn
+  FROM scored sc JOIN dl ON dl.docint = sc.docint
 )
-SELECT conv_id, turn_idx, docint, ROUND(score, 4) AS score
+SELECT conv_id, turn_idx, docint, ROUND(s, 4) AS score
 FROM ranked WHERE rn = 1
-ORDER BY score DESC, docint DESC
+-- order on the UNROUNDED score (the output alias would be the rounded
+-- one and could flip near-tie representatives vs the engine)
+ORDER BY s DESC, docint DESC
 LIMIT 10
 """,
 )
@@ -1023,6 +1025,66 @@ JOIN sizes zb ON zb.id = s.id_b
 WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= {tau}
 """
 
+# Jaccard(0.5) pair graph -> min-label reachability, appended to _SH_SQL
+# (as WITH RECURSIVE); ends at reach(id, lbl). Shared by the
+# dedup_components and dedup_survivors oracles.
+_JACCARD_COMPONENT_CTES = """
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes za ON za.id = s.id_a
+  JOIN sizes zb ON zb.id = s.id_b
+  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
+)
+"""
+
+# textstats.quality_scores as CTEs -> quality(doc_id, q); the single
+# source of the SQL quality formula (stopword list tracks
+# LANG_MARKERS['en']). Shared by quality_weighted_sample and
+# dedup_survivors. CTE names are q-prefixed to compose with _SH_SQL.
+_QUALITY_CTES = """
+qtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+         lower(text) AS low
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
+         ROUND(len(list_filter(t, x -> list_contains(
+             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
+             / greatest(len(t), 1), 4) AS stop_ratio,
+         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
+             / greatest(length(low), 1), 4) AS alnum_ratio
+  FROM qtok
+),
+quality AS (
+  SELECT doc_id,
+         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
+  FROM qm
+)
+"""
+
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miru_spark.operators.dedup import exact_dup_groups
@@ -1142,34 +1204,9 @@ _register(
     "dedup_components",
     _q_dedup_components,
     _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """,
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
-),
-shared AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
-  FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT s.id_a, s.id_b
-  FROM shared s
-  JOIN sizes za ON za.id = s.id_a
-  JOIN sizes zb ON zb.id = s.id_b
-  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
-),
-und AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT src, dst FROM und
-  UNION
-  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
-)
+    + ","
+    + _JACCARD_COMPONENT_CTES
+    + """
 SELECT id AS doc_id, LEAST(id, MIN(lbl)) AS canonical_id
 FROM reach GROUP BY id
 """,
@@ -1484,26 +1521,7 @@ def _weighted_sample_sql() -> str:
 
     b = duckdb_bucket("doc_id", "v1")
     return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
-         lower(text) AS low
-  FROM documents
-),
-qm AS (
-  SELECT doc_id,
-         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
-         ROUND(len(list_filter(t, x -> list_contains(
-             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
-             / greatest(len(t), 1), 4) AS stop_ratio,
-         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
-             / greatest(length(low), 1), 4) AS alnum_ratio
-  FROM tok
-),
-quality AS (
-  SELECT doc_id,
-         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
-  FROM qm
-)
+WITH {_QUALITY_CTES}
 SELECT doc_id AS id, q AS quality FROM quality
 WHERE {b} < ROUND(q * 10000)::INT
 """
@@ -2894,61 +2912,18 @@ _register(
     "dedup_survivors",
     _q_dedup_survivors,
     _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _JACCARD_COMPONENT_CTES
+    + ","
+    + _QUALITY_CTES
     + """,
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
-),
-shared AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
-  FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT s.id_a, s.id_b
-  FROM shared s
-  JOIN sizes za ON za.id = s.id_a
-  JOIN sizes zb ON zb.id = s.id_b
-  WHERE s.n_shared::DOUBLE / (za.n_sh + zb.n_sh - s.n_shared) >= 0.5
-),
-und AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT src, dst FROM und
-  UNION
-  SELECT r.id, u.dst FROM reach r JOIN und u ON r.lbl = u.src
-),
 comp AS (
   SELECT id AS doc_id, LEAST(id, MIN(lbl)) AS component
   FROM reach GROUP BY id
 ),
-qtok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
-         lower(text) AS low
-  FROM documents
-),
-qm AS (
-  SELECT doc_id,
-         ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 4) AS ttr,
-         ROUND(len(list_filter(t, x -> list_contains(
-             ['the','and','is','of','to','in','that','it'], x)))::DOUBLE
-             / greatest(len(t), 1), 4) AS stop_ratio,
-         ROUND(length(regexp_replace(low, '[^a-z0-9'' ]', '', 'g'))::DOUBLE
-             / greatest(length(low), 1), 4) AS alnum_ratio
-  FROM qtok
-),
-quality AS (
-  SELECT doc_id,
-         ROUND((ttr + least(stop_ratio * 4, 1.0) + alnum_ratio) / 3.0, 4) AS q
-  FROM qm
-),
 jq AS (
-  SELECT c.doc_id, c.component, quality.q
-  FROM comp c JOIN quality ON quality.doc_id = c.doc_id
+  SELECT c.doc_id, c.component, COALESCE(quality.q, '-inf'::DOUBLE) AS q
+  FROM comp c LEFT JOIN quality ON quality.doc_id = c.doc_id
 ),
 surv AS (
   SELECT component,

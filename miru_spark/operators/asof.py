@@ -76,11 +76,28 @@ def asof_join(
     u = p.unionByName(r, allowMissingColumns=True)
 
     # side 0 sorts before side 1 at equal ts => inclusive (ref.ts <= probe.ts);
-    # _pay as the final key makes the winner among equal-ts reference rows
-    # deterministic (struct ordering = max payload)
+    # the ORDERABLE payload fields as the final key make the winner among
+    # equal-ts reference rows deterministic (struct ordering = max payload).
+    # Map-typed payload columns can ride along in _pay but can't sort.
+    from pyspark.sql.types import MapType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if hasattr(dt, "elementType"):
+            return _orderable(dt.elementType)
+        if hasattr(dt, "fields"):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tie_cols = [
+        F.col(f"_pay.{f.name}")
+        for f in r.schema["_pay"].dataType.fields
+        if _orderable(f.dataType)
+    ]
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side", "_pay")
+        .orderBy("_ts", "_side", *tie_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
@@ -116,15 +133,28 @@ def range_join(
 
     Returns probe columns + the matched reference row's non-key columns
     suffixed ``_ref`` (inner semantics: unmatched probes drop out).
+
+    Exact for timestamp/timestamp_ntz columns (integer epoch micros) and
+    integer-second columns. Fractional-second DOUBLE inputs keep their
+    full precision in the range predicate (no quantization), with a
+    theoretical 1-ULP bucket-assignment edge at exact window boundaries
+    (~2^-53 relative) — irrelevant in practice and absent for the
+    timestamp path.
     """
     us = int(round(window_seconds * 1_000_000))
+    if us <= 0:
+        raise ValueError(
+            f"window_seconds={window_seconds!r} must be at least 1 microsecond"
+        )
 
     def _to_us(frame, c):
-        # timestamp/timestamp_ntz -> epoch micros; numeric -> seconds
+        # timestamp/timestamp_ntz -> exact epoch micros; numeric seconds
+        # stay DOUBLE (no quantization — the exact range predicate below
+        # must see the original values, not micros truncated to long)
         dt = dict(frame.dtypes)[ts_col]
         if dt.startswith("timestamp"):
             return F.unix_micros(c.cast("timestamp"))
-        return (c.cast("double") * F.lit(1_000_000)).cast("long")
+        return c.cast("double") * F.lit(1_000_000.0)
 
     p = probe.withColumn("_pts", _to_us(probe, F.col(ts_col))).withColumn(
         "_bkt", F.floor(F.col("_pts") / F.lit(us))

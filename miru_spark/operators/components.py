@@ -168,12 +168,16 @@ def survivor_docs(
     AQE's skew handling splits the partial aggregation.
     """
     comp = connected_components(edges, id_a, id_b, max_iter)
+    # LEFT join: a member with no quality row stays in its cluster's map
+    # (it must still be deduplicated) — it just can't win. coalesce to
+    # -inf keeps the max_by key total without dropping rows.
     j = comp.join(
         quality.select(
             F.col(quality_id).alias("id"), F.col(quality_col).alias("q")
         ),
         "id",
-    )
+        "left",
+    ).withColumn("q", F.coalesce(F.col("q"), F.lit(float("-inf"))))
     surv = j.groupBy("component").agg(
         F.expr("max_by(id, struct(q, -id))").alias("survivor_id")
     )

@@ -431,15 +431,41 @@ def _train_centroids(
     return C
 
 
+def _sample_train_centroids(
+    emb: DataFrame,
+    n_lists: int,
+    sample: int,
+    iters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Deterministic bounded training sample (lowest-xxhash rows — a
+    TakeOrdered, no full sort materialization at scale) fed to
+    :func:`_train_centroids`. Shared by IvfIndex.build and
+    cluster_embeddings."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return _train_centroids(X, n_lists=n_lists, iters=iters, seed=seed)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_sim: bool = False,
+    list_col: str = "list",
 ) -> DataFrame:
-    """(vec_id, list) — nearest-centroid assignment, one Arrow-batched
-    pass over the corpus (mapInPandas; the centroid matrix rides into
-    the closure, ~n_lists*dim floats — broadcast-sized)."""
+    """(vec_id, <list_col>[, sim]) — nearest-centroid assignment, one
+    Arrow-batched pass over the corpus (mapInPandas; the centroid matrix
+    rides into the closure, ~n_lists*dim floats — broadcast-sized).
+    ``with_sim`` appends the cosine to the winning centroid (4dp)."""
     C = centroids.astype(np.float64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -448,16 +474,18 @@ def ivf_assign(
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "list": (Xn @ C.T).argmax(axis=1).astype(np.int32),
-                }
-            )
+            sims = Xn @ C.T
+            best = sims.argmax(axis=1)
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                list_col: best.astype(np.int32),
+            }
+            if with_sim:
+                out["sim"] = np.round(sims[np.arange(len(best)), best], 4)
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        assign, schema="vec_id long, list int"
-    )
+    schema = f"vec_id long, {list_col} int" + (", sim double" if with_sim else "")
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 class IvfIndex:
@@ -490,16 +518,9 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IvfIndex":
-        # deterministic bounded training sample: lowest-xxhash rows
-        # (TakeOrdered — no full sort materialization at scale)
-        rows = (
-            emb.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-            .limit(sample)
-            .collect()
+        C = _sample_train_centroids(
+            emb, n_lists, sample, iters, seed, id_col, vec_col
         )
-        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-        C = _train_centroids(X, n_lists=n_lists, iters=iters, seed=seed)
         return cls(ivf_assign(emb, C, id_col, vec_col), C, seed)
 
     def save(self, path: str) -> None:
@@ -594,33 +615,9 @@ def cluster_embeddings(
     is the cosine to the assigned centroid, rounded 4dp — the
     confidence/outlier signal.
     """
-    rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(sample)
-        .collect()
+    C = _sample_train_centroids(
+        emb, n_clusters, sample, iters, seed, id_col, vec_col
     )
-    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    C = _train_centroids(X, n_lists=n_clusters, iters=iters, seed=seed)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Xb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = Xb / np.maximum(
-                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
-            )
-            sims = Xn @ C.T
-            best = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cluster": best.astype(np.int32),
-                    "sim": np.round(sims[np.arange(len(best)), best], 4),
-                }
-            )
-
-    return emb.select(id_col, vec_col).mapInPandas(
-        assign, schema="vec_id long, cluster int, sim double"
+    return ivf_assign(
+        emb, C, id_col, vec_col, with_sim=True, list_col="cluster"
     )

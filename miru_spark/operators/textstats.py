@@ -428,10 +428,14 @@ def unigram_logprob(
     (AQE may still choose one when it fits).
     """
     toks = tokens_col(text_col)
+    # tf feeds both cf (whose total is collected below) and the per-doc
+    # join: persist it (memory+disk) so the final action doesn't
+    # re-tokenize the corpus a second time
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = cf.agg(F.sum("cf")).collect()[0][0] or 0
@@ -479,13 +483,17 @@ def pmi_collocations(
     final top-n is a TakeOrdered over the surviving collocations, then
     ranked client-side semantics via deterministic (pmi desc, gram asc).
     """
+    # both aggregates are vocabulary-sized; persist them so the two
+    # total-count collects don't leave the final action re-scanning the
+    # raw corpus for a third and fourth tokenize pass
     grams = _doc_ngrams(docs, 2, id_col, text_col)
-    cab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    cab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).persist()
     b_total = cab.agg(F.sum("n")).collect()[0][0] or 0
     uni = (
         docs.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
     )
     t_total = uni.agg(F.sum("cw")).collect()[0][0] or 0
     # F.get (null on out-of-bounds), NOT getItem: the join below derives

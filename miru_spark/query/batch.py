@@ -33,7 +33,7 @@ def search_batch(
     (score desc, docint desc) order).
     """
     spark = index.postings.sparkSession
-    fused_rows = []  # (qid, leaf_id, kind, value, mode, n_leaves, k)
+    fused_rows = []  # (qid, leaf_id, kind, value, boost, mode, n_leaves, k)
     fallback: list[tuple[str, str, int]] = []
     from miru_spark.query.filters import expand_multiterm
 
