@@ -136,6 +136,51 @@ def main() -> None:
         )
     )
 
+    from pyspark.sql import functions as F
+
+    from miru_spark.operators.asof import asof_join, range_join
+    from miru_spark.query.collapse import search_collapse
+
+    sections.append(
+        (
+            "Field-collapsed top-k (best turn per conversation)",
+            "scored_matches (index-only) → one groupBy(conv) struct-max "
+            "→ TakeOrdered over the representatives; no window over the "
+            "answer set, metadata joined after the limit.",
+            search_collapse(idx, "hash OR merge", k=10),
+        )
+    )
+    events_tbl = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    purchases = events_tbl.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events_tbl.where("event_type = 'click'").select(
+        "user_id", "ts", "value"
+    )
+    sections.append(
+        (
+            "As-of join (latest prior click per purchase)",
+            "Union + ONE window exchange keyed on user; running "
+            "last(ignorenulls) is a streaming frame — no partition "
+            "buffering, no join explosion.",
+            asof_join(
+                purchases,
+                clicks.withColumn("event_id", F.monotonically_increasing_id()),
+                on="user_id",
+                payload_cols=["event_id", "value"],
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Interval range join (clicks within a day before each purchase)",
+            "Bucketed equi-join rewrite: NO CartesianProduct / "
+            "BroadcastNestedLoopJoin anywhere in the plan — the theta "
+            "range predicate runs AFTER an equi-join on (user, bucket).",
+            range_join(purchases, clicks, window_seconds=86400.0),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
