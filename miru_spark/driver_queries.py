@@ -69,6 +69,14 @@ _BM25 = (
     " / (p.tf + 1.2 * (0.25 + 0.75 * dl.doclen / c.avgdl))"
 )
 
+# cross-engine exact cosine over 64-dim lists (same left-to-right
+# summation order as the Spark zip_with/aggregate fold)
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+)
+
 
 def _bm25_sql(match_sql: str, score_pred: str, k: int, offset: int = 0) -> str:
     """Top-k BM25 oracle: ``match_sql`` yields matching docints,
@@ -329,6 +337,80 @@ FROM ranked WHERE rn = 1
 ORDER BY s DESC, docint DESC
 LIMIT 10
 """,
+)
+
+
+def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector search (query/hybrid.py): BM25 top-50
+    candidate pool reranked by cosine to a query embedding (vec_id 0),
+    blended 50/50. The candidate key is the turn's original doc_id
+    (conv_id/turn_idx decomposition), joined broadcast against the
+    embeddings table."""
+    from miru_spark.query.hybrid import search_hybrid
+
+    idx = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    key = (
+        F.substring(F.col("conv_id"), 5, 8).cast("bigint") * 4
+        + F.col("turn_idx").cast("bigint")
+    )
+    out = search_hybrid(
+        idx,
+        "spark OR merge",
+        emb,
+        qv,
+        key_expr=key,
+        k=10,
+        candidates=50,
+        alpha=0.5,
+    )
+    return (
+        out.withColumn("bm25", F.round("bm25", 4))
+        .withColumn("cosine", F.round("cosine", 4))
+        .withColumn("hybrid", F.round("hybrid", 4))
+    )
+
+
+_register(
+    "ft_hybrid_rerank",
+    _q_hybrid,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('spark','merge')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark','merge') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+pool AS (
+  SELECT dl.conv_id, dl.turn_idx, m.docint, COALESCE(ct.score, 0) AS s,
+         substr(dl.conv_id, 5, 8)::BIGINT * 4 + dl.turn_idx AS key
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+  ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+  LIMIT 50
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT pool.*,
+         COALESCE({{cos}}, 0.0) AS cos
+  FROM pool
+  LEFT JOIN embeddings e ON e.vec_id = pool.key
+  CROSS JOIN q
+)
+SELECT conv_id, turn_idx, docint, ROUND(s, 4) AS bm25, ROUND(cos, 4) AS cosine,
+       ROUND(0.5 * s + 0.5 * cos, 4) AS hybrid
+FROM rer
+ORDER BY 0.5 * s + 0.5 * cos DESC, docint DESC
+LIMIT 10
+""".replace(
+        "{cos}", _COS_SQL.format(a="(e.embedding::DOUBLE[])", b="qv")
+    ),
 )
 
 
@@ -1730,13 +1812,6 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM s a JOIN s b ON a.id < b.id
 WHERE bit_count(xor(a.sh::BIT, b.sh::BIT)) <= 2
 """.format(md5=_MD5L.format(x="t")),
-)
-
-
-_COS_SQL = (
-    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
-    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
 )
 
 

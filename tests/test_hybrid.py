@@ -1,0 +1,89 @@
+"""Hybrid BM25 + embedding rerank (query/hybrid.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.index import InvertedIndex
+from miru_spark.oracle import PandasIndex
+from miru_spark.query.hybrid import search_hybrid
+
+
+@pytest.fixture(scope="module")
+def built(small_turns, small_pdf):
+    idx = InvertedIndex.build(small_turns)
+    oracle = PandasIndex(small_pdf)
+    yield idx, oracle
+    idx.unpersist()
+
+
+def _emb_for(spark, docints, dim=4):
+    # deterministic unit-ish vectors keyed on docint; docint % 3 == 0 has
+    # no embedding row (exercises the left-join zero-cosine path)
+    rows = [
+        (int(d), [math.sin(d + i) for i in range(dim)])
+        for d in docints
+        if d % 3 != 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hybrid_blend_matches_python(built, spark):
+    idx, oracle = built
+    full = oracle.search("w00000 OR w00001", k=50)
+    emb = _emb_for(spark, full["docint"].tolist())
+    qv = [1.0, 0.5, -0.5, 0.25]
+
+    got = search_hybrid(
+        idx,
+        "w00000 OR w00001",
+        emb,
+        qv,
+        key_expr=F.col("docint"),
+        k=10,
+        candidates=50,
+        alpha=0.7,
+    ).toPandas()
+
+    # python oracle: same pool, same blend
+    vecs = {
+        int(r["vec_id"]): list(r["embedding"]) for r in emb.collect()
+    }
+
+    def cos(v):
+        num = sum(a * b for a, b in zip(v, qv))
+        den = math.sqrt(sum(a * a for a in v)) * math.sqrt(
+            sum(b * b for b in qv)
+        )
+        return num / den
+
+    exp = []
+    for r in full.to_dict("records"):
+        c = cos(vecs[r["docint"]]) if r["docint"] in vecs else 0.0
+        exp.append((r["docint"], 0.7 * r["score"] + 0.3 * c))
+    exp.sort(key=lambda x: (-x[1], -x[0]))
+    exp = exp[:10]
+
+    assert list(got["docint"]) == [d for d, _ in exp]
+    for g, (_, h) in zip(got["hybrid"], exp):
+        assert abs(g - h) < 1e-6
+    # missing-embedding hits survive with cosine exactly 0
+    miss = got[got["docint"] % 3 == 0]
+    assert (miss["cosine"] == 0.0).all()
+
+
+def test_hybrid_alpha_one_is_bm25(built, spark):
+    idx, oracle = built
+    full = oracle.search("w00002", k=20)
+    emb = _emb_for(spark, full["docint"].tolist())
+    got = search_hybrid(
+        idx, "w00002", emb, [1.0, 0.0, 0.0, 0.0],
+        key_expr=F.col("docint"), k=10, candidates=20, alpha=1.0,
+    ).toPandas()
+    exp = oracle.search("w00002", k=10)
+    assert list(got["docint"]) == list(exp["docint"])
+    for g, e in zip(got["bm25"], exp["score"]):
+        assert abs(g - e) < 1e-6
