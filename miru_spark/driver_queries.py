@@ -340,6 +340,63 @@ LIMIT 10
 )
 
 
+def _q_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-N (query/collapse.py search_grouped): the 5 best
+    conversations for the query, each expanded to its top-2 turns —
+    Lucene grouping / Solr group.limit."""
+    from miru_spark.query.collapse import search_grouped
+
+    idx = _index_for(spark, sf_dir)
+    out = search_grouped(idx, "hash OR merge", k_groups=5, per_group=2)
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_grouped_topn",
+    _q_grouped,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('hash','merge') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+members AS (
+  SELECT dl.conv_id, dl.turn_idx, m.docint, COALESCE(ct.score, 0) AS s
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+),
+grp_best AS (
+  SELECT conv_id, s, docint,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY s DESC, docint DESC) AS rn
+  FROM members
+),
+grp AS (
+  SELECT conv_id,
+         ROW_NUMBER() OVER (ORDER BY s DESC, docint DESC) AS grp_rank
+  FROM grp_best WHERE rn = 1
+  ORDER BY grp_rank LIMIT 5
+),
+ranked AS (
+  SELECT mb.conv_id, mb.turn_idx, mb.docint, mb.s, g.grp_rank,
+         ROW_NUMBER() OVER (PARTITION BY mb.conv_id
+                            ORDER BY mb.s DESC, mb.docint DESC) AS doc_rank
+  FROM members mb JOIN grp g USING (conv_id)
+)
+SELECT conv_id, turn_idx, docint, ROUND(s, 4) AS score,
+       grp_rank::INT AS grp_rank, doc_rank::INT AS doc_rank
+FROM ranked WHERE doc_rank <= 2
+ORDER BY grp_rank, doc_rank
+""",
+)
+
+
 def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector search (query/hybrid.py): BM25 top-50
     candidate pool reranked by cosine to a query embedding (vec_id 0),

@@ -60,3 +60,25 @@ def test_collapse_respects_ts_mask(built, small_pdf):
     full = oracle.search("w00000", k=oracle.n_docs, ts_hi=ts_hi)
     exp = full.drop_duplicates("conv_id", keep="first").head(10)
     assert list(got["docint"]) == list(exp["docint"])
+
+
+def test_grouped_topn_vs_oracle(built):
+    from miru_spark.query.collapse import search_grouped
+
+    idx, oracle = built
+    got = search_grouped(
+        idx, "w00000 OR w00001", k_groups=5, per_group=2
+    ).toPandas()
+    full = oracle.search("w00000 OR w00001", k=oracle.n_docs)
+    # groups ranked by their best member (collapse order)
+    best = full.drop_duplicates("conv_id", keep="first").head(5)
+    grp_rank = {c: i + 1 for i, c in enumerate(best["conv_id"])}
+    exp = full[full["conv_id"].isin(grp_rank)].copy()
+    exp["grp_rank"] = exp["conv_id"].map(grp_rank)
+    exp["doc_rank"] = exp.groupby("conv_id").cumcount() + 1
+    exp = exp[exp["doc_rank"] <= 2].sort_values(["grp_rank", "doc_rank"])
+    assert list(got["docint"]) == list(exp["docint"])
+    assert list(got["grp_rank"]) == list(exp["grp_rank"])
+    assert list(got["doc_rank"]) == list(exp["doc_rank"])
+    for g, e in zip(got["score"], exp["score"]):
+        assert abs(g - e) < 1e-6
