@@ -2638,6 +2638,30 @@ LIMIT 5
 )
 
 
+def _q_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Did you mean" (query/suggest.py spell_correct): dictionary terms
+    within 2 edits of the typo 'kye', ranked (dist, df desc, term) —
+    Lucene DirectSpellChecker over the term-stats relation with length
+    banding before the levenshtein scan."""
+    from miru_spark.query.suggest import spell_correct
+
+    idx = _index_for(spark, sf_dir)
+    return spell_correct(idx, "kye", max_dist=2, k=5)
+
+
+_register(
+    "spell_correct",
+    _q_spell,
+    f"""{SQL_PRELUDE}
+SELECT term, df, levenshtein(term, 'kye')::INT AS dist
+FROM stats
+WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'kye') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 5
+""",
+)
+
+
 def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Lucene MoreLikeThis semantics, engine-served):
     docint 100's top-5 tf-idf terms OR-searched, source excluded.

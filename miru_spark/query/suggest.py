@@ -30,3 +30,32 @@ def suggest_terms(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def spell_correct(
+    index: InvertedIndex,
+    token: str,
+    max_dist: int = 2,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """"Did you mean": top-``k`` dictionary terms within ``max_dist``
+    edits of ``token``, ranked (distance asc, df desc, term asc) — the
+    Lucene DirectSpellChecker shape over the term-stats relation.
+
+    Length banding prunes the dictionary BEFORE the levenshtein scan
+    (|len(term) - len(token)| ≤ max_dist is a necessary condition), the
+    same guard the fuzzy query leaves use; the scan runs over the tiny
+    cached term-stats relation, never the postings."""
+    n = len(token)
+    cand = index.terms.where(
+        (F.length("term") >= n - max_dist)
+        & (F.length("term") <= n + max_dist)
+        & (F.col("df") >= min_df)
+    ).withColumn("dist", F.levenshtein(F.col("term"), F.lit(token)))
+    return (
+        cand.where(F.col("dist") <= max_dist)
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -82,3 +82,25 @@ def test_grouped_topn_vs_oracle(built):
     assert list(got["doc_rank"]) == list(exp["doc_rank"])
     for g, e in zip(got["score"], exp["score"]):
         assert abs(g - e) < 1e-6
+
+
+def test_spell_correct_ranking(built):
+    from miru_spark.query.suggest import spell_correct
+
+    idx, oracle = built
+    # corpus vocabulary is w00000..w09999 (+ role terms); a typo of a
+    # dictionary word must surface the word at distance 1, popular
+    # (low-numbered, Zipf) terms first on ties
+    got = spell_correct(idx, "w0000", max_dist=1, k=10).toPandas()
+    assert "w00000" in set(got["term"])
+    assert (got["dist"] <= 1).all()
+    # ranking: distance asc, then df desc, then term asc
+    key = list(zip(got["dist"], -got["df"], got["term"]))
+    assert key == sorted(key)
+
+
+def test_spell_correct_no_match(built):
+    from miru_spark.query.suggest import spell_correct
+
+    idx, _ = built
+    assert spell_correct(idx, "zzzzzzzzzz", max_dist=2, k=5).count() == 0
