@@ -471,6 +471,31 @@ LIMIT 10
 )
 
 
+def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (query/hybrid.py search_mmr): greedy
+    Carbonell-Goldstein reranking of the BM25 pool, penalizing
+    similarity to already-picked docs. Rows-only (iterative greedy has
+    no SQL twin); pytest carries the pure-python reference."""
+    from miru_spark.query.hybrid import search_mmr
+
+    idx = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    key = (
+        F.substring(F.col("conv_id"), 5, 8).cast("bigint") * 4
+        + F.col("turn_idx").cast("bigint")
+    )
+    out = search_mmr(
+        idx, "spark OR merge", emb, qv, key_expr=key, k=10, candidates=50
+    )
+    return out.withColumn("rel", F.round("rel", 4)).withColumn(
+        "mmr", F.round("mmr", 4)
+    )
+
+
+_register("ft_mmr_diverse", _q_mmr, None)
+
+
 def _q_tsrange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range mask (reference MiruBitmaps.buildTimeRangeMask,
     miru-plugin/.../bitmap/MiruBitmaps.java:141): BM25 top-k restricted

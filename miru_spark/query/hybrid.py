@@ -92,3 +92,107 @@ def search_hybrid(
             "hybrid",
         )
     )
+
+
+def search_mmr(
+    index: InvertedIndex,
+    query: str | Node,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    key_expr: Column,
+    k: int = 10,
+    candidates: int = 50,
+    lam: float = 0.7,
+    alpha: float = 0.5,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedy diversified top-k.
+
+    Relevance = the hybrid blend (``alpha·bm25 + (1-alpha)·cosine`` to
+    the query vector); at each step pick
+    ``argmax lam·rel(i) - (1-lam)·max_{j∈selected} cos(i, j)`` —
+    the standard MMR recurrence (Carbonell & Goldstein '98), killing
+    near-duplicate hits that a plain top-k would stack.
+
+    The greedy loop is inherently sequential over k picks, so it runs
+    driver-side on the COLLECTED candidate pool — ``candidates`` rows ×
+    dim floats, the same constant-size two-phase collect as the WAND
+    floor. All corpus-scale work (BM25 pool, embedding fetch) stays
+    distributed; ties break (value desc, docint desc) so results are
+    layout-independent.
+
+    Returns (conv_id, turn_idx, docint, rel, mmr, rank) in pick order.
+    No SQL oracle by nature (iterative greedy) — pytest carries the
+    reference implementation.
+    """
+    import numpy as np
+
+    pool = search(index, query, k=candidates).withColumn("_k", key_expr)
+    e = embeddings.select(
+        F.col(emb_id_col).alias("_k"), F.col(vec_col).alias("_v")
+    )
+    rows = (
+        pool.join(e, "_k", "left")
+        .select("conv_id", "turn_idx", "docint", "score", "_v")
+        .collect()
+    )
+    if not rows:
+        spark = index.docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, docint long, rel double, "
+            "mmr double, rank int",
+        )
+
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    V = np.zeros((len(rows), dim))
+    has_v = np.zeros(len(rows), dtype=bool)
+    for i, r in enumerate(rows):
+        if r["_v"] is not None:
+            V[i] = np.asarray(list(r["_v"]), dtype=np.float64)
+            has_v[i] = True
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    rel = np.array(
+        [
+            alpha * r["score"]
+            + (1 - alpha) * (float(Vn[i] @ qn) if has_v[i] else 0.0)
+            for i, r in enumerate(rows)
+        ]
+    )
+    sim = Vn @ Vn.T  # candidates×candidates — bounded by `candidates`
+    sim[~has_v, :] = 0.0
+    sim[:, ~has_v] = 0.0
+
+    docints = np.array([r["docint"] for r in rows])
+    selected: list[int] = []
+    remaining = set(range(len(rows)))
+    out_rows = []
+    for rank in range(1, min(k, len(rows)) + 1):
+        if selected:
+            penalty = sim[:, selected].max(axis=1)
+        else:
+            penalty = np.zeros(len(rows))
+        value = lam * rel - (1 - lam) * penalty
+        best = max(remaining, key=lambda i: (value[i], docints[i]))
+        selected.append(best)
+        remaining.discard(best)
+        r = rows[best]
+        out_rows.append(
+            (
+                r["conv_id"],
+                int(r["turn_idx"]),
+                int(r["docint"]),
+                float(rel[best]),
+                float(value[best]),
+                rank,
+            )
+        )
+    spark = index.docs.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "conv_id string, turn_idx int, docint long, rel double, "
+        "mmr double, rank int",
+    )

@@ -87,3 +87,71 @@ def test_hybrid_alpha_one_is_bm25(built, spark):
     assert list(got["docint"]) == list(exp["docint"])
     for g, e in zip(got["bm25"], exp["score"]):
         assert abs(g - e) < 1e-6
+
+
+def _py_mmr(rows, qv, k, lam, alpha):
+    # pure-python MMR reference (same recurrence, same tie-break)
+    import math
+
+    def cos(a, b):
+        if a is None or b is None:
+            return 0.0
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / max(den, 1e-12)
+
+    rel = [alpha * s + (1 - alpha) * cos(v, qv) for _, s, v in rows]
+    sel, remaining, picks = [], list(range(len(rows))), []
+    for _ in range(min(k, len(rows))):
+        vals = []
+        for i in remaining:
+            pen = max((cos(rows[i][2], rows[j][2]) for j in sel), default=0.0)
+            vals.append((lam * rel[i] - (1 - lam) * pen, rows[i][0], i))
+        vals.sort(key=lambda t: (-t[0], -t[1]))
+        _, _, best = vals[0]
+        sel.append(best)
+        remaining.remove(best)
+        picks.append(rows[best][0])
+    return picks
+
+
+def test_mmr_matches_python_reference(built, spark):
+    from miru_spark.query.hybrid import search_mmr
+
+    idx, oracle = built
+    full = oracle.search("w00000 OR w00001", k=30)
+    emb = _emb_for(spark, full["docint"].tolist())
+    qv = [0.3, -0.2, 0.9, 0.1]
+    got = search_mmr(
+        idx, "w00000 OR w00001", emb, qv,
+        key_expr=F.col("docint"), k=8, candidates=30, lam=0.6, alpha=0.5,
+    ).toPandas()
+
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for r in emb.collect()}
+    rows = [
+        (int(r["docint"]), float(r["score"]), vecs.get(int(r["docint"])))
+        for r in full.to_dict("records")
+    ]
+    exp = _py_mmr(rows, qv, 8, 0.6, 0.5)
+    assert list(got["docint"]) == exp
+    assert list(got["rank"]) == list(range(1, len(exp) + 1))
+
+
+def test_mmr_diversifies(built, spark):
+    # two candidates with identical embeddings: MMR must not pick both
+    # early, while plain hybrid would rank them adjacent
+    from miru_spark.query.hybrid import search_mmr
+
+    idx, oracle = built
+    full = oracle.search("w00002", k=10)
+    ids = full["docint"].tolist()
+    same = [1.0, 0.0, 0.0, 0.0]
+    rows = [(int(d), same if i < 2 else [0.0, 1.0, float(i), 0.0]) for i, d in enumerate(ids)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = search_mmr(
+        idx, "w00002", emb, same,
+        key_expr=F.col("docint"), k=len(ids), candidates=10, lam=0.5, alpha=0.0,
+    ).toPandas()
+    # the twin of the first pick is penalized: it cannot be rank 2
+    first_two = set(got.head(2)["docint"])
+    assert not set(ids[:2]).issubset(first_two)
