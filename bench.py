@@ -135,7 +135,11 @@ def main() -> None:
                  "contamination_report", "quality_weighted_sample",
                  "chunk_documents", "text_tfidf_keywords",
                  "text_unigram_logprob", "text_pmi_collocations",
-                 "dedup_survivors", "embedding_clusters"]:
+                 "dedup_survivors", "embedding_clusters",
+                 # round-2 late additions
+                 "ft_collapse", "ft_grouped_topn", "ft_hybrid_rerank",
+                 "ft_mmr_diverse", "spell_correct", "asof_purchase_click",
+                 "range_join_clicks", "mixture_sample_sources"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

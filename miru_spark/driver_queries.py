@@ -340,6 +340,30 @@ LIMIT 10
 )
 
 
+def _q_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (ast.expand_synonyms): 'scan AND
+    big' with scan≡filter becomes (scan OR filter) AND big — Lucene
+    SynonymGraph as BooleanQuery rewrite, each synonym scoring as its
+    own term."""
+    idx = _index_for(spark, sf_dir)
+    out = search(
+        idx, "scan AND big", k=10, synonyms={"scan": ["filter"]}
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_synonym",
+    _q_synonym,
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term IN ('scan','filter') "
+        "INTERSECT SELECT docint FROM post WHERE term = 'big'",
+        "p.term IN ('scan','filter','big')",
+        10,
+    ),
+)
+
+
 def _q_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-N (query/collapse.py search_grouped): the 5 best
     conversations for the query, each expanded to its top-2 turns —

@@ -162,3 +162,30 @@ def positive_text_leaves(node: Node) -> list:
 
     walk(node, False)
     return out
+
+
+def expand_synonyms(node: Node, mapping: dict[str, list[str]]) -> Node:
+    """Rewrite text Terms through a synonym map: ``Term(v)`` becomes
+    ``Or(Term(v), Term(s1), …)`` when ``mapping[v]`` exists — Lucene's
+    query-time SynonymGraph as plain boolean OR expansion (the
+    BooleanQuery rewrite; each synonym scores as its own term). Only
+    positive text-field terms expand — negated terms keep their exact
+    meaning (``NOT x`` must not grow to exclude synonyms silently), and
+    metadata/range/phrase leaves pass through untouched."""
+
+    def rewrite(n: Node, negated: bool) -> Node:
+        if isinstance(n, Term) and n.field == DEFAULT_FIELD and not negated:
+            syns = mapping.get(n.value)
+            if syns:
+                alts = (n, *(Term(s, n.field, n.boost) for s in syns))
+                return Or(alts)
+            return n
+        if isinstance(n, And):
+            return And(tuple(rewrite(c, negated) for c in n.children))
+        if isinstance(n, Or):
+            return Or(tuple(rewrite(c, negated) for c in n.children))
+        if isinstance(n, Not):
+            return Not(rewrite(n.child, True))
+        return n
+
+    return rewrite(node, False)

@@ -294,9 +294,15 @@ def search(
     strategy: str = "bm25",
     after: float | None = None,
     exclude=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k search. Returns (conv_id, turn_idx, docint, score) ordered by
     (score desc, docint desc) [bm25] or (docint desc) [time].
+
+    ``synonyms`` (term → alternatives) OR-expands positive text terms
+    before planning (Lucene query-time SynonymGraph as BooleanQuery
+    rewrite — see ``ast.expand_synonyms``); an expanded single-term
+    query stays on the fused single-scan plan (Or of Terms is fusable).
 
     ``ts_lo``/``ts_hi`` apply the reference's time-range mask
     (``MiruBitmaps.buildTimeRangeMask``, miru-plugin/.../bitmap/
@@ -311,6 +317,10 @@ def search(
     cursor is just ``exclude`` + the docint order.
     """
     node = parse_query(query) if isinstance(query, str) else query
+    if synonyms:
+        from miru_spark.query.ast import expand_synonyms
+
+        node = expand_synonyms(node, synonyms)
     # MultiTermQuery → TermInSet rewrite: wildcard/fuzzy leaves expand
     # against the term dictionary so the postings access stays an
     # equality-set probe (prunable, fusable) — see filters.expand_multiterm

@@ -441,3 +441,39 @@ def test_regexp_terms(spark):
             ).collect()
         }
         assert rp == want, f"row predicate {q}"
+
+
+def test_synonym_expansion_equals_explicit_or(small_turns):
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+
+    idx = InvertedIndex.build(small_turns)
+    try:
+        a = search(
+            idx, "w00003", k=10, synonyms={"w00003": ["w00004"]}
+        ).toPandas()
+        b = search(idx, "w00003 OR w00004", k=10).toPandas()
+        assert list(a["docint"]) == list(b["docint"])
+        for x, y in zip(a["score"], b["score"]):
+            assert abs(x - y) < 1e-9
+    finally:
+        idx.unpersist()
+
+
+def test_synonym_not_expanded_under_negation(small_turns):
+    from miru_spark.query.ast import And, Not, Or, Term, expand_synonyms
+    from miru_spark.query.parser import parse_query
+
+    node = parse_query("w00001 AND NOT w00002")
+    out = expand_synonyms(
+        node, {"w00001": ["w00009"], "w00002": ["w00008"]}
+    )
+    assert isinstance(out, And)
+    pos, neg = out.children
+    # positive leaf expanded to an OR, negated leaf untouched
+    assert isinstance(pos, Or) and {t.value for t in pos.children} == {
+        "w00001",
+        "w00009",
+    }
+    assert isinstance(neg, Not) and isinstance(neg.child, Term)
+    assert neg.child.value == "w00002"
