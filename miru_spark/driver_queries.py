@@ -1376,6 +1376,35 @@ FROM bits GROUP BY 1
 )
 
 
+def _q_ngram_jaccard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (dedup.ngram_jaccard_pairs_delta):
+    pairs touching a simulated ingest batch (doc_id % 10 == 7) — the
+    per-batch query of a continuously-fed corpus; candidate join cost is
+    proportional to the delta, never corpus²."""
+    from miru_spark.operators.dedup import ngram_jaccard_pairs_delta
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    delta = d.where(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("id")
+    )
+    return ngram_jaccard_pairs_delta(d, delta, k=3, threshold=0.5)
+
+
+_register(
+    "dedup_ngram_delta",
+    _q_ngram_jaccard_delta,
+    _SH_SQL
+    + """,
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id AND (a.id % 10 = 7 OR b.id % 10 = 7)
+),
+"""
+    + _JACCARD_VERIFY_SQL.format(tau=0.5),
+)
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the n-gram Jaccard pair graph →
     (doc_id, canonical_id) canonicalization mapping. Oracle = DuckDB

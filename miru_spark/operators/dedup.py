@@ -116,7 +116,15 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on full shingle sets
+    return _jaccard_verify(sh, sizes, cand, threshold)
+
+
+def _jaccard_verify(
+    sh: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate (id_a, id_b)
+    pairs — the shared verification stage of every candidate generator
+    (shared-shingle, MinHash bands, delta join)."""
     shared = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(
@@ -142,6 +150,54 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_delta(
+    docs: DataFrame,
+    delta_ids: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Incremental near-dup detection: pairs with Jaccard ≥ t where AT
+    LEAST ONE side is a newly-ingested doc (``delta_ids``, one ``id``
+    column) — the maintenance query a continuously-fed corpus runs per
+    batch instead of re-pairing everything.
+
+    The candidate join is (delta shingles) ⋈ (corpus shingles): cost is
+    proportional to the DELTA's shingle mass times per-shingle df, never
+    to corpus², and the same stop-shingle df cap bounds hot shingles.
+    New-new pairs are found too (both sides in the delta). Results equal
+    ``ngram_jaccard_pairs(docs)`` filtered to pairs touching the delta.
+    """
+    sh = shingles(docs, k, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df == "auto":
+        max_df = max(64, -(-docs.count() // 200))
+    join_sh = sh
+    if max_df is not None:
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(common, "shingle", "left_anti")
+    new_sh = join_sh.join(
+        delta_ids.select(F.col("id")), "id", "left_semi"
+    ).alias("d")
+    cand = (
+        new_sh.join(join_sh.alias("o"), "shingle")
+        .where(F.col("d.id") != F.col("o.id"))
+        .select(
+            F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(sh, sizes, cand, threshold)
 
 
 def minhash_signatures(

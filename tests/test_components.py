@@ -133,3 +133,34 @@ def test_mixture_sample_targets_token_mass(spark):
     # threshold math is the documented half-up bucket bound
     thr = mixture_thresholds({"web": 1_000_000}, {"web": 0.5}, 1_000_000)
     assert thr == {"web": 5000}
+
+
+def test_ngram_jaccard_delta_equals_filtered_full(spark):
+    from miru_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_delta,
+    )
+
+    # near-dup clusters: docs i and i+100 share most tokens
+    rows = []
+    for i in range(40):
+        base = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((i, base))
+        rows.append((i + 100, base + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    delta = docs.where(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("id")
+    )
+    full = ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_df=None)
+    exp = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs_delta(
+            docs, delta, k=3, threshold=0.3, max_df=None
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
