@@ -495,6 +495,75 @@ LIMIT 10
 )
 
 
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (query/hybrid.py search_rrf): BM25 top-50
+    fused with cosine top-50 (query embedding = vec_id 0) by
+    Σ 1/(60+rank) — the calibration-free hybrid ranking. Both retrievals
+    distributed; the 50-row rank lists collect driver-side (WAND-floor
+    pattern) and re-broadcast for the metadata join."""
+    from miru_spark.query.hybrid import search_rrf
+
+    idx = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = (
+        F.substring(F.col("conv_id"), 5, 8).cast("bigint") * 4
+        + F.col("turn_idx").cast("bigint")
+    )
+    out = search_rrf(
+        idx, "spark OR merge", emb, query_id=0, key_expr=key,
+        k=10, candidates=50,
+    )
+    return out.withColumn("rrf", F.round("rrf", 4))
+
+
+_register(
+    "ft_rrf_fusion",
+    _q_rrf,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('spark','merge')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark','merge') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+bmpool AS (
+  SELECT substr(dl.conv_id, 5, 8)::BIGINT * 4 + dl.turn_idx AS key,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(ct.score, 0) DESC,
+                            m.docint DESC) AS br
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+  ORDER BY br LIMIT 50
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vecpool AS (
+  SELECT vec_id AS key,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND({{cos}}, 4) DESC, vec_id ASC) AS vr
+  FROM embeddings e CROSS JOIN q WHERE vec_id != 0
+  ORDER BY vr LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(b.key, v.key) AS key, b.br, v.vr,
+         COALESCE(1.0 / (60 + b.br), 0) + COALESCE(1.0 / (60 + v.vr), 0) AS rrf
+  FROM bmpool b FULL OUTER JOIN vecpool v ON b.key = v.key
+)
+SELECT dl.conv_id, dl.turn_idx, dl.docint, ROUND(f.rrf, 4) AS rrf,
+       f.br::INT AS bm_rank, f.vr::INT AS vec_rank
+FROM fused f
+JOIN dl ON substr(dl.conv_id, 5, 8)::BIGINT * 4 + dl.turn_idx = f.key
+ORDER BY f.rrf DESC, dl.docint DESC
+LIMIT 10
+""".replace(
+        "{cos}", _COS_SQL.format(a="(e.embedding::DOUBLE[])", b="qv")
+    ),
+)
+
+
 def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-k (query/hybrid.py search_mmr): greedy
     Carbonell-Goldstein reranking of the BM25 pool, penalizing

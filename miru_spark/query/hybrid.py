@@ -94,6 +94,67 @@ def search_hybrid(
     )
 
 
+def search_rrf(
+    index: InvertedIndex,
+    query: str | Node,
+    embeddings: DataFrame,
+    query_id: int,
+    key_expr: Column,
+    k: int = 10,
+    candidates: int = 50,
+    rrf_k: int = 60,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal Rank Fusion: ``Σ 1/(rrf_k + rank)`` over the lexical
+    top-``candidates`` (BM25) and the vector top-``candidates`` (cosine
+    to the ``query_id`` row) — the calibration-free hybrid ranking
+    (Cormack et al. '09) that fuses RANKS, so BM25 and cosine scales
+    never need normalizing (unlike :func:`search_hybrid`'s blend).
+
+    Both retrievals run distributed (index-only BM25 TakeOrdered; one
+    embedding scan TakeOrdered); their ``candidates``-row results are
+    collected driver-side (constant-size, the WAND-floor pattern), fused
+    in plain Python, and re-broadcast for the metadata join. Ties break
+    (rrf desc, docint desc).
+
+    Returns (conv_id, turn_idx, docint, rrf, bm_rank, vec_rank) —
+    rank columns null when a doc appears on only one list.
+    """
+    from miru_spark.operators.similarity import cosine_topk
+
+    bm_rows = (
+        search(index, query, k=candidates).withColumn("_k", key_expr).collect()
+    )
+    bm_rank = {int(r["_k"]): i + 1 for i, r in enumerate(bm_rows)}
+    vec_rows = cosine_topk(
+        embeddings, query_id, k=candidates, id_col=emb_id_col, vec_col=vec_col
+    ).collect()
+    vec_rank = {int(r[emb_id_col]): i + 1 for i, r in enumerate(vec_rows)}
+
+    fused = []
+    for key in set(bm_rank) | set(vec_rank):
+        br, vr = bm_rank.get(key), vec_rank.get(key)
+        rrf = (1.0 / (rrf_k + br) if br else 0.0) + (
+            1.0 / (rrf_k + vr) if vr else 0.0
+        )
+        fused.append((key, rrf, br, vr))
+
+    spark = index.docs.sparkSession
+    fused_df = spark.createDataFrame(
+        fused, "key long, rrf double, bm_rank int, vec_rank int"
+    )
+    docs = index.docs.withColumn("_k", key_expr).select(
+        F.col("_k").alias("key"), "conv_id", "turn_idx", "docint"
+    )
+    return (
+        docs.join(F.broadcast(fused_df), "key")
+        .orderBy(F.desc("rrf"), F.desc("docint"))
+        .limit(k)
+        .select("conv_id", "turn_idx", "docint", "rrf", "bm_rank", "vec_rank")
+    )
+
+
 def search_mmr(
     index: InvertedIndex,
     query: str | Node,

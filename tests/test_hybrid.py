@@ -155,3 +155,44 @@ def test_mmr_diversifies(built, spark):
     # the twin of the first pick is penalized: it cannot be rank 2
     first_two = set(got.head(2)["docint"])
     assert not set(ids[:2]).issubset(first_two)
+
+
+def test_rrf_fusion_matches_python(built, spark):
+    from miru_spark.query.hybrid import search_rrf
+
+    idx, oracle = built
+    full = oracle.search("w00000 OR w00001", k=20)
+    ids = full["docint"].tolist()
+    emb_rows = [
+        (int(d), [math.sin(d + i) for i in range(4)]) for d in ids
+    ] + [(999999, [1.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    got = search_rrf(
+        idx, "w00000 OR w00001", emb, query_id=999999,
+        key_expr=F.col("docint"), k=10, candidates=20,
+    ).toPandas()
+
+    # python reference
+    bm_rank = {d: i + 1 for i, d in enumerate(ids[:20])}
+    qv = [1.0, 0.0, 0.0, 0.0]
+
+    def cos(v):
+        num = sum(a * b for a, b in zip(v, qv))
+        den = math.sqrt(sum(a * a for a in v))
+        return round(num / den, 4)  # cosine_topk rounds before ranking
+
+    by_cos = sorted(
+        ((cos(v), d) for d, v in emb_rows if d != 999999),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    vec_rank = {d: i + 1 for i, (_, d) in enumerate(by_cos)}
+    fused = {}
+    for d in set(bm_rank) | set(vec_rank):
+        fused[d] = (1 / (60 + bm_rank[d]) if d in bm_rank else 0) + (
+            1 / (60 + vec_rank[d]) if d in vec_rank else 0
+        )
+    exp = sorted(fused.items(), key=lambda t: (-t[1], -t[0]))[:10]
+    assert list(got["docint"]) == [d for d, _ in exp]
+    for g, (_, r) in zip(got["rrf"], exp):
+        assert abs(g - r) < 1e-9
