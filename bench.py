@@ -139,7 +139,10 @@ def main() -> None:
                  # round-2 late additions
                  "ft_collapse", "ft_grouped_topn", "ft_hybrid_rerank",
                  "ft_mmr_diverse", "spell_correct", "asof_purchase_click",
-                 "range_join_clicks", "mixture_sample_sources"]:
+                 "range_join_clicks", "mixture_sample_sources",
+                 "ft_rrf_fusion", "ft_bm25_synonym", "ft_facets",
+                 "dedup_dup_spans", "dedup_span_strip",
+                 "event_percentiles"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

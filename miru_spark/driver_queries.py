@@ -3250,3 +3250,171 @@ def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("embedding_clusters", _q_embedding_clusters, None)
+
+
+# -- facet counts over the answer set (SURVEY.md §2.5 gather distincts;
+#    MiruAggregateUtil.gather, Distincts plugin) --------------------------
+
+
+def _q_ft_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field value counts of the full 'hash OR merge' match set —
+    Solr-style faceting via one unpivot scan + one groupBy
+    (query/facets.py)."""
+    from miru_spark.query.facets import facet_counts
+
+    return facet_counts(
+        _index_for(spark, sf_dir), "hash OR merge", ("role", "tool"), top_n=10
+    )
+
+
+_register(
+    "ft_facets",
+    _q_ft_facets,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')),
+j AS (SELECT dl.role, dl.tool FROM dl JOIN m USING (docint)),
+u AS (
+  SELECT 'role' AS facet, role::VARCHAR AS value FROM j
+  UNION ALL
+  SELECT 'tool' AS facet, tool::VARCHAR AS value FROM j
+),
+g AS (SELECT facet, value, COUNT(*)::BIGINT AS n FROM u GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY facet ORDER BY n DESC, value ASC) AS rn FROM g)
+SELECT facet, value, n FROM r WHERE rn <= 10
+ORDER BY facet, n DESC, value
+""",
+)
+
+
+# -- exact-substring (duplicated span) dedup — Lee et al. 2021 ------------
+
+_SPAN_K = 5
+
+_SPAN_OCC_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+  FROM documents
+),
+span AS (
+  SELECT doc_id, unnest(range(0, greatest(len(toks) - {_SPAN_K} + 1, 0))) AS pos,
+         toks
+  FROM tokd
+),
+occ AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos + 1: pos + {_SPAN_K}], ' ') AS gram
+  FROM span
+)"""
+
+
+def _q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top duplicated 5-token spans corpus-wide (operators/dedup.py
+    duplicate_spans — the detection half of exact-substring dedup)."""
+    from miru_spark.operators.dedup import duplicate_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        duplicate_spans(d, k=_SPAN_K)
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+_register(
+    "dedup_dup_spans",
+    _q_dedup_dup_spans,
+    _SPAN_OCC_SQL
+    + """
+SELECT gram, COUNT(*)::BIGINT AS n_occ, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM occ GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, gram ASC
+LIMIT 50
+""",
+)
+
+
+def _q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup rewrite: every token covered by a duplicated
+    5-token span is removed except in the span's first corpus occurrence
+    (operators/dedup.py strip_duplicate_spans)."""
+    from miru_spark.operators.dedup import strip_duplicate_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_duplicate_spans(d, k=_SPAN_K)
+
+
+_register(
+    "dedup_span_strip",
+    _q_dedup_span_strip,
+    _SPAN_OCC_SQL
+    + f""",
+occ2 AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ
+),
+covered AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos
+    FROM occ2 WHERE cnt > 1 AND rn > 1
+  )
+),
+tok AS (
+  SELECT doc_id, s.tpos AS tpos, s.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) ->
+                  struct_pack(tok := x, tpos := i - 1))) AS s
+    FROM tokd
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+  )
+),
+clean AS (
+  SELECT doc_id, COUNT(*)::INT AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, len(d.toks)::INT AS n_tokens,
+       (len(d.toks) - COALESCE(c.n_kept, 0))::INT AS n_removed,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM tokd d LEFT JOIN clean c USING (doc_id)
+""",
+)
+
+
+def _q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per event_type — the reference's
+    RunningPercentile shape (operators/waveform.py value_percentiles)."""
+    from miru_spark.operators.waveform import value_percentiles
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = value_percentiles(e, "event_type", "value")
+    return out.select(
+        "event_type",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+        "n",
+    )
+
+
+_register(
+    "event_percentiles",
+    _q_event_percentiles,
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       COUNT(*)::BIGINT AS n
+FROM events
+GROUP BY event_type
+""",
+)

@@ -412,3 +412,131 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated k-token span) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better". The paper
+# builds a suffix array; the set-semantics equivalent over FIXED-width
+# windows is pure relational algebra and shuffles on uniform keys.
+# ---------------------------------------------------------------------------
+
+
+def _span_occurrences(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gram): every k-token window of every doc WITH its
+    position (unlike :func:`shingles`, occurrences are not deduped —
+    positions drive span removal)."""
+    toks = tokens_col(text_col)
+    grams = F.expr(
+        f"CASE WHEN size(tokens) >= {k} THEN "
+        f"transform(sequence(0, size(tokens) - {k}), "
+        f"i -> array_join(slice(tokens, i + 1, {k}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("tokens"))
+        .select("id", F.posexplode(grams).alias("pos", "gram"))
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every k-token span occurring more than once corpus-wide:
+    (gram, n_occ, n_docs).
+
+    One shuffle keyed on the gram text; map-side partial aggregation
+    bounds shuffle rows by distinct-gram count per task, so a viral
+    boilerplate span (the skew case) combines before the exchange. At
+    production scale group on ``xxhash64(gram)`` instead of the text to
+    shrink the shuffle payload — the text key is kept here so the DuckDB
+    oracle matches byte-for-byte.
+    """
+    return (
+        _span_occurrences(docs, k, id_col, text_col)
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .where(F.col("n_occ") > 1)
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token covered by a duplicated k-token span, except in
+    the span's FIRST corpus occurrence (min (doc_id, pos)) — the
+    exact-substring dedup rewrite (Lee et al. '21 drop-all-but-first,
+    over fixed k windows instead of a suffix array).
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) for every input
+    doc: ``clean_text`` = surviving tokens joined by single spaces in
+    original order (analyzed form — lowercased, punctuation collapsed).
+
+    Scale shape: tokenize scan → one groupBy(gram) (uniform text keys,
+    partial-agg combines hot grams) → occurrence equi-join back on gram
+    → position explode bounded by k × duplicated-occurrence count → one
+    left_anti on (id, pos) → one groupBy(id) rebuild. No window over
+    anything bigger than a doc, no driver loop, no crossJoin.
+    """
+    occ = _span_occurrences(docs, k, id_col, text_col).cache()
+    keepers = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            # lexicographic struct min == first corpus occurrence
+            F.min(F.struct("id", "pos")).alias("_keep"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select("gram", "_keep")
+    )
+    dup_occ = (
+        occ.join(keepers, "gram")
+        .where(
+            (F.col("id") != F.col("_keep.id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .select("id", "pos")
+    )
+    covered = dup_occ.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos")
+    ).distinct()
+
+    tokrows = docs.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("tokens")
+    ).select("id", F.size("tokens").alias("n_tokens"), F.posexplode("tokens").alias("tpos", "tok"))
+    kept = tokrows.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -106,3 +106,34 @@ def waveform_delta(
     return enc.select(
         F.col("key").alias(key_col), "idx", F.col("delta").cast("long").alias("delta")
     )
+
+
+def value_percentiles(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per key — the
+    reference's latency-percentile shape (``RunningPercentile.java``,
+    which drives MiruLowestLatencySolver's adaptive replica timeouts,
+    ``MiruLowestLatencySolver.java:62-105``), computed exactly instead
+    of via a ring buffer.
+
+    Returns (key, p50, p95, p99, n) — one row per key. ONE shuffle on
+    the key; ``percentile`` aggregates with map-side partial state
+    (t-digest-free exact path: Spark buffers per-group values on the
+    reducer, bounded by per-key row count — for unbounded keys switch
+    to ``percentile_approx``, same call shape). Interpolation is the
+    same linear rule as SQL ``quantile_cont`` / numpy 'linear', so the
+    DuckDB oracle matches to float precision.
+    """
+    pcols = [
+        F.percentile(value_col, F.lit(float(p))).alias(
+            f"p{round(float(p) * 100):d}"
+        )
+        for p in ps
+    ]
+    return df.groupBy(key_col).agg(
+        *pcols, F.count(F.lit(1)).alias("n")
+    )

@@ -78,3 +78,24 @@ def test_waveform_delta_rows_match_pandas(spark):
     assert got.astype({"idx": int, "delta": int}).equals(
         exp.astype({"idx": int, "delta": int})
     )
+
+
+def test_value_percentiles_matches_numpy(spark):
+    import numpy as np
+
+    from miru_spark.operators.waveform import value_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", float(v * v)) for v in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"], r["n"])
+        for r in value_percentiles(df).collect()
+    }
+    for key, vals in (("a", range(1, 101)), ("b", [v * v for v in range(1, 8)])):
+        arr = np.array(list(vals), dtype=float)
+        exp = np.percentile(arr, [50, 95, 99], method="linear")
+        assert got[key][3] == len(arr)
+        for g, e in zip(got[key][:3], exp):
+            assert abs(g - e) < 1e-9, (key, g, e)

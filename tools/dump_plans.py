@@ -181,6 +181,31 @@ def main() -> None:
         )
     )
 
+    from miru_spark.operators.dedup import strip_duplicate_spans
+    from miru_spark.query.facets import facet_counts
+
+    sections.append(
+        (
+            "Facet counts over the answer set",
+            "Match set semi-join → ONE unpivot scan (explode over a "
+            "literal map) → groupBy(facet, value) with map-side partial "
+            "aggregation — shuffle rows bounded by value cardinality; "
+            "the per-facet window runs over the aggregated relation.",
+            facet_counts(idx, "hash OR merge", ("role", "tool"), top_n=10),
+        )
+    )
+    sections.append(
+        (
+            "Exact-substring span dedup rewrite (strip_duplicate_spans)",
+            "groupBy(gram) keeper election (uniform text keys, partial "
+            "agg combines hot grams) → occurrence equi-join → bounded "
+            "position explode → left_anti on (id, pos) → one "
+            "groupBy(id) rebuild. No window wider than a doc, no "
+            "crossJoin, no driver loop.",
+            strip_duplicate_spans(docs_tbl, k=5),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
