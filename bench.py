@@ -142,7 +142,7 @@ def main() -> None:
                  "range_join_clicks", "mixture_sample_sources",
                  "ft_rrf_fusion", "ft_bm25_synonym", "ft_facets",
                  "dedup_dup_spans", "dedup_span_strip",
-                 "event_percentiles"]:
+                 "event_percentiles", "ft_significant_terms"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

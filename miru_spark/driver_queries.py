@@ -3418,3 +3418,37 @@ FROM events
 GROUP BY event_type
 """,
 )
+
+
+def _q_ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style significant_terms (JLH) over the 'merge' answer set
+    (query/facets.py significant_terms)."""
+    from miru_spark.query.facets import significant_terms
+
+    out = significant_terms(
+        _index_for(spark, sf_dir), "merge", top_n=15, min_fg=2
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_significant_terms",
+    _q_ft_significant_terms,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term = 'merge'),
+fgt AS (SELECT COUNT(*)::DOUBLE AS fgt FROM m),
+fg AS (
+  SELECT term, COUNT(*)::BIGINT AS fg
+  FROM post WHERE docint IN (SELECT docint FROM m)
+  GROUP BY term HAVING COUNT(*) >= 2
+),
+j AS (
+  SELECT fg.term, fg.fg, s.df,
+         ((fg.fg / fgt.fgt) - (s.df / c.n_docs::DOUBLE))
+         * ((fg.fg / fgt.fgt) / (s.df / c.n_docs::DOUBLE)) AS score
+  FROM fg JOIN stats s USING (term) CROSS JOIN fgt CROSS JOIN corpus c
+)
+SELECT term, fg, df, ROUND(score, 4) AS score
+FROM j ORDER BY score DESC, term ASC LIMIT 15
+""",
+)

@@ -81,3 +81,49 @@ def facet_counts(
         .select("facet", "value", "n")
         .orderBy("facet", F.desc("n"), F.asc_nulls_last("value"))
     )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    query: str | Node,
+    top_n: int = 15,
+    min_fg: int = 2,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """Terms statistically overrepresented in the answer set vs the
+    corpus — Elasticsearch ``significant_terms`` with the JLH score
+    ``(fgPct - bgPct) · (fgPct / bgPct)``. The reference's trending
+    plugin ranks the same foreground/background contrast over time
+    buckets; this is the set-vs-corpus variant over the answer bitmap.
+
+    Returns (term, fg, df, score): ``fg`` = answer docs containing the
+    term, ``df`` = corpus docs, top ``top_n`` by (score desc, term asc).
+
+    Plan: answer semi-join → ONE groupBy(term) for foreground counts →
+    broadcast join against the term-stats relation (already cached,
+    broadcast-sized) → score as column arithmetic → TakeOrdered. The
+    answer-set size rides along as a broadcast 1-row cross join — no
+    driver collect, no window.
+    """
+    matched = scored_matches(index, query, ts_lo=ts_lo, ts_hi=ts_hi).select(
+        "docint"
+    )
+    fg = (
+        index.postings.join(matched, "docint", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg"))
+        .where(F.col("fg") >= min_fg)
+    )
+    fg_total = matched.agg(F.count(F.lit(1)).alias("_fgt"))
+    n_docs = float(index.n_docs)
+    fg_pct = F.col("fg") / F.col("_fgt")
+    bg_pct = F.col("df") / F.lit(n_docs)
+    return (
+        fg.join(index.terms.select("term", "df"), "term")
+        .crossJoin(F.broadcast(fg_total))
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top_n)
+        .select("term", "fg", "df", "score")
+    )

@@ -90,3 +90,38 @@ def test_facet_counts_vs_pandas(tiny_turns, tiny_pdf):
             expect[key] = int(n)
     assert got == expect
     idx.unpersist()
+
+
+def test_significant_terms_vs_pandas(tiny_turns, tiny_pdf):
+    from collections import Counter
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.facets import significant_terms
+
+    idx = InvertedIndex.build(tiny_turns)
+    got = [
+        (r["term"], r["fg"], r["df"], r["score"])
+        for r in significant_terms(idx, "w00002", top_n=10, min_fg=2).collect()
+    ]
+
+    toks = tiny_pdf["text"].map(lambda t: set(tokenize_py(t)))
+    df_counts = Counter(t for s in toks for t in s)
+    n_docs = len(tiny_pdf)
+    matched = toks[toks.map(lambda s: "w00002" in s)]
+    fgt = len(matched)
+    fg_counts = Counter(t for s in matched for t in s)
+    scored = []
+    for t, fg in fg_counts.items():
+        if fg < 2:
+            continue
+        fg_pct = fg / fgt
+        bg_pct = df_counts[t] / n_docs
+        scored.append((t, fg, df_counts[t], (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    expect = scored[:10]
+    assert [g[:3] for g in got] == [e[:3] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[3] - e[3]) < 1e-9
+    # the query term itself is maximally significant (fg == answer size)
+    assert got[0][0] == "w00002"
+    idx.unpersist()
