@@ -142,7 +142,9 @@ def main() -> None:
                  "range_join_clicks", "mixture_sample_sources",
                  "ft_rrf_fusion", "ft_bm25_synonym", "ft_facets",
                  "dedup_dup_spans", "dedup_span_strip",
-                 "event_percentiles", "ft_significant_terms"]:
+                 "event_percentiles", "ft_significant_terms",
+                 "conv_stats", "conv_role_flow", "conv_context_sft",
+                 "text_pii_scrub"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

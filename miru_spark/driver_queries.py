@@ -3452,3 +3452,170 @@ SELECT term, fg, df, ROUND(score, 4) AS score
 FROM j ORDER BY score DESC, term ASC LIMIT 15
 """,
 )
+
+
+# -- per-conversation analytics (operators/conversations.py) -----------------
+
+
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn/role/token/duration stats + SFT validity
+    (operators/conversations.py conversation_stats)."""
+    from miru_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(transcripts_from_documents(spark, sf_dir))
+
+
+_register(
+    "conv_stats",
+    _q_conv_stats,
+    f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS})
+SELECT conv_id,
+       COUNT(*)::BIGINT AS n_turns,
+       SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assistant,
+       SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_tool_calls,
+       SUM(len(regexp_extract_all(lower(text), '[a-z0-9'']+')))::BIGINT
+         AS total_tokens,
+       date_diff('second', MIN(ts), MAX(ts))::BIGINT AS duration_s,
+       (min_by(role, turn_idx) = 'user' AND MIN(turn_idx) = 0
+        AND MAX(turn_idx) + 1 = COUNT(*)
+        AND COUNT(DISTINCT turn_idx) = COUNT(*)) AS is_valid
+FROM t
+GROUP BY conv_id
+""",
+)
+
+
+def _q_conv_role_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition Markov counts over consecutive turns
+    (operators/conversations.py role_transitions)."""
+    from miru_spark.operators.conversations import role_transitions
+
+    return role_transitions(transcripts_from_documents(spark, sf_dir))
+
+
+_register(
+    "conv_role_flow",
+    _q_conv_role_flow,
+    f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS}),
+x AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS from_role
+  FROM t
+)
+SELECT from_role, role AS to_role, COUNT(*)::BIGINT AS n
+FROM x WHERE from_role IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+
+
+def _q_conv_context_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example assembly: previous-2-turn context per assistant turn
+    (operators/conversations.py context_windows)."""
+    from miru_spark.operators.conversations import context_windows
+
+    return context_windows(
+        transcripts_from_documents(spark, sf_dir), k=2, sep="\n"
+    )
+
+
+_register(
+    "conv_context_sft",
+    _q_conv_context_sft,
+    f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS}),
+x AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS context
+  FROM t
+)
+SELECT conv_id, turn_idx, context, text AS target
+FROM x WHERE role = 'assistant'
+""",
+)
+
+
+# -- PII scrubbing (operators/pii.py) -----------------------------------------
+
+
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/IPv4s/phones from deterministically PII-salted doc
+    text; per-doc redaction counts + scrubbed-text digest
+    (operators/pii.py scrub_pii)."""
+    from miru_spark.operators.pii import scrub_pii
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    salted = F.concat(
+        F.substring("text", 1, 80),
+        F.when(
+            did % 3 > 0,
+            F.concat(F.lit(" u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.lit(" 10.0."),
+        (did % 200).cast("string"),
+        F.lit("."),
+        (did % 50).cast("string"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" and 192.168.1."), (did % 9).cast("string")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-867-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    src = d.select(did.alias("id"), salted.alias("text"))
+    return scrub_pii(src, "text").select(
+        "id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("scrubbed").alias("digest"),
+    )
+
+
+from miru_spark.operators.pii import pii_sql as _pii_sql  # noqa: E402
+
+_register(
+    "text_pii_scrub",
+    _q_text_pii_scrub,
+    f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         substring(text, 1, 80)
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' u' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || ' 10.0.' || (doc_id % 200)::VARCHAR || '.'
+         || (doc_id % 50)::VARCHAR
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' and 192.168.1.' || (doc_id % 9)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-867-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT id,
+       {_pii_sql("text")}
+  FROM src
+)
+SELECT id, n_email::INT AS n_email, n_ipv4::INT AS n_ipv4,
+       n_phone::INT AS n_phone, md5(scrubbed) AS digest
+FROM red
+""",
+)
