@@ -144,7 +144,8 @@ def main() -> None:
                  "dedup_dup_spans", "dedup_span_strip",
                  "event_percentiles", "ft_significant_terms",
                  "conv_stats", "conv_role_flow", "conv_context_sft",
-                 "text_pii_scrub"]:
+                 "text_pii_scrub", "ft_bm25_recency", "ft_lm_dirichlet",
+                 "ft_percolate"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

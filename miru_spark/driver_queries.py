@@ -3619,3 +3619,131 @@ SELECT id, n_email::INT AS n_email, n_ipv4::INT AS n_ipv4,
 FROM red
 """,
 )
+
+
+# -- alternative ranking functions (query/scoring.py) -------------------------
+
+
+def _q_ft_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 x exponential recency decay (query/scoring.py
+    search_recency; ES function_score decay blend)."""
+    from miru_spark.query.scoring import search_recency
+
+    out = search_recency(
+        _index_for(spark, sf_dir),
+        "hash OR merge",
+        ref_ts="2024-02-01 00:00:00",
+        half_life_s=604_800.0,
+        k=10,
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_recency",
+    _q_ft_recency,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('hash','merge')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('hash','merge')
+    AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+sc AS (
+  SELECT m.docint,
+         COALESCE(ct.score, 0)
+         * power(0.5, date_diff('second', dl.ts,
+                                TIMESTAMP '2024-02-01 00:00:00') / 604800.0)
+           AS score
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+)
+SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
+FROM sc JOIN dl ON dl.docint = sc.docint
+ORDER BY sc.score DESC, sc.docint DESC
+LIMIT 10
+""",
+)
+
+
+def _q_ft_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (query/scoring.py
+    search_lm_dirichlet; Lucene LMDirichletSimilarity semantics)."""
+    from miru_spark.query.scoring import search_lm_dirichlet
+
+    out = search_lm_dirichlet(
+        _index_for(spark, sf_dir), "hash OR merge", mu=2000.0, k=10
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_lm_dirichlet",
+    _q_ft_lm_dirichlet,
+    f"""{SQL_PRELUDE},
+tot AS (SELECT SUM(cf)::DOUBLE AS t FROM stats),
+sc AS (
+  SELECT p.docint,
+         SUM(ln(1 + p.tf::DOUBLE * tot.t / (2000.0 * s.cf::DOUBLE))
+             + ln(2000.0 / (2000.0 + dl.doclen::DOUBLE))) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN tot
+  WHERE p.term IN ('hash','merge')
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
+FROM sc JOIN dl ON dl.docint = sc.docint
+ORDER BY sc.score DESC, sc.docint DESC
+LIMIT 10
+""",
+)
+
+
+# -- percolation / reverse search (query/percolate.py) ------------------------
+
+_PERC_QUERIES = [
+    ("alert_merge_batch", ["merge", "batch"]),
+    ("alert_spark_join", ["spark", "join"]),
+    ("alert_hash", ["hash"]),
+    ("alert_triple", ["merge", "spark", "part"]),
+]
+
+
+def _q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search: label docs with the stored conjunctive queries
+    they satisfy (query/percolate.py percolate)."""
+    from miru_spark.query.percolate import percolate
+
+    return percolate(_index_for(spark, sf_dir), _PERC_QUERIES)
+
+
+_PERC_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _PERC_QUERIES for t in terms
+)
+
+_register(
+    "ft_percolate",
+    _q_ft_percolate,
+    f"""{SQL_PRELUDE},
+q(qid, term) AS (VALUES {_PERC_VALUES}),
+qs AS (SELECT qid, COUNT(DISTINCT term) AS n FROM q GROUP BY qid),
+h AS (
+  SELECT p.docint, q.qid, COUNT(DISTINCT p.term) AS c
+  FROM post p JOIN q USING (term)
+  GROUP BY 1, 2
+)
+SELECT h.qid, h.docint, dl.conv_id, dl.turn_idx
+FROM h
+JOIN qs USING (qid)
+JOIN dl ON dl.docint = h.docint
+WHERE h.c = qs.n
+""",
+)
