@@ -10,11 +10,15 @@ depend on that ordering.
 Here the stable identity is ``(conv_id, turn_idx)`` and ``docint`` is the
 dense rank of that pair under lexicographic ordering. A naive global
 ``row_number() OVER (ORDER BY conv_id, turn_idx)`` collapses to a single
-partition — fine for tests, fatal at 10^12 turns. Because ``turn_idx`` is
-contiguous ``0..n-1`` within each conversation (transcript invariant),
-the dense rank decomposes into::
+partition — fine for tests, fatal at 10^12 turns. The dense rank
+decomposes into::
 
-    docint = (#turns of all conversations with conv_id' < conv_id) + turn_idx
+    docint = (#turns of all conversations with conv_id' < conv_id)
+             + rank of turn_idx within the conversation
+
+(on contiguous transcripts — turn_idx = 0..n-1, the usual invariant —
+the within-conv rank equals ``turn_idx``; computing the rank keeps ids
+dense and collision-free when turns have been filtered or expunged)
 
 so the global sort is only over the *conversations* table (1000-10000×
 smaller than turns), and the per-turn work is an equi-join on conv_id —
@@ -31,7 +35,9 @@ from pyspark.sql import functions as F
 # DuckDB twin used by oracle_sql() strings; {src} is the transcripts relation.
 DUCKDB_DOCINT = """
 SELECT t.*,
-       (COALESCE(o.off, 0) + t.turn_idx)::BIGINT AS docint
+       (COALESCE(o.off, 0)
+        + ROW_NUMBER() OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx)
+        - 1)::BIGINT AS docint
 FROM {src} t
 JOIN (
     SELECT conv_id,
@@ -85,8 +91,18 @@ def with_docint(turns: DataFrame) -> DataFrame:
         .join(base_df, "_pid")
         .select("conv_id", (F.col("_loff") + F.col("_base")).alias("_off"))
     )
+    # within-conv rank instead of raw turn_idx: identical on contiguous
+    # transcripts (turn_idx = 0..n-1), and collision-free when turns
+    # have been filtered/expunged (gappy turn_idx would otherwise spill
+    # past the conversation's counted offset into the next conv's id
+    # range). The window partitions on conv_id — bounded partitions,
+    # reusing the join's hash partitioning; never a global sort.
+    wturn = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
         turns.join(offsets, "conv_id")
-        .withColumn("docint", (F.col("_off") + F.col("turn_idx")).cast("long"))
+        .withColumn(
+            "docint",
+            (F.col("_off") + F.row_number().over(wturn) - 1).cast("long"),
+        )
         .drop("_off")
     )

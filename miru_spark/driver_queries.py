@@ -3747,3 +3747,71 @@ JOIN dl ON dl.docint = h.docint
 WHERE h.c = qs.n
 """,
 )
+
+
+# -- physical expunge of tombstoned docs (incremental.py expunge_shard) ------
+
+
+def _q_expunge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the SegmentStore AFTER physically expunging tombstoned
+    docs (incremental.py expunge_shard — the compaction that reclaims
+    the reference's removal index, Lucene expungeDeletes parity).
+    Unlike ft_bm25_removal (query-time mask, global stats still include
+    removed docs), expunge rewrites segments: df/cf/n_docs/avgdl all
+    reflect the reduced corpus, so the oracle is plain BM25 over the
+    physically filtered transcripts. Output is id-space-neutral
+    (conv_id, turn_idx, score) like ft_bm25_incremental."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+    from miru_spark.operators.removal import tombstones_from_keys
+
+    key = f"{id(spark)}:{sf_dir}:expunge"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark, tempfile.mkdtemp(prefix="miru_expunge_"), n_shards=2
+        )
+        store.build(turns)
+        drop_keys = turns.where(
+            (F.col("turn_idx") == 3) & (F.col("conv_id") < "conv00000040")
+        ).select("conv_id", "turn_idx")
+        store.expunge(tombstones_from_keys(store.load(), drop_keys))
+        idx = store.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "merge AND part", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_EXPUNGED_TRANSCRIPTS = (
+    f"SELECT * FROM ({DUCKDB_TRANSCRIPTS}) "
+    "WHERE NOT (turn_idx = 3 AND conv_id < 'conv00000040')"
+)
+
+_register(
+    "ft_bm25_expunge",
+    _q_expunge,
+    f"""{SQL_PRELUDE.replace(DUCKDB_TRANSCRIPTS, _EXPUNGED_TRANSCRIPTS)},
+m AS (
+  SELECT docint FROM post WHERE term IN ('merge','part')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('merge','part') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)

@@ -372,6 +372,133 @@ class SegmentStore:
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
 
+    def expunge_shard(self, shard: int, drop: DataFrame) -> None:
+        """Physically remove tombstoned docs from one shard — Lucene
+        ``expungeDeletes``/``forceMerge`` parity over the reference's
+        removal index (``MiruRemovalIndex``: REMOVE only *masks*; the
+        LAB store reclaims space at compaction — this is that
+        compaction). Rewrites the shard's live units into ONE merged
+        unit minus ``drop`` (docint column), recomputes term stats so
+        df/cf reflect the physical corpus, and appends a manifest entry
+        that RESETS the shard's doc/doclen totals (``expunged: true`` —
+        ``load`` folds it as a reset, not an increment). Watermark and
+        ``next_id`` carry over unchanged: docints are never reassigned,
+        so later appends stay monotonic and stale tombstones of
+        already-expunged docs are harmless.
+
+        Crash-atomic like :meth:`merge_shard`: fully written under
+        ``_expunge_tmp``, committed by one rename to
+        ``merged_{delta+1:04d}`` (which supersedes every source unit),
+        manifest appended, then sources deleted. A crash between rename
+        and manifest append leaves the store loadable with stale
+        (over-counted) totals; re-running the expunge detects the
+        committed unit and finishes the manifest + cleanup.
+        Pre-expunge snapshots are EXPIRED (``SnapshotExpiredError`` on
+        ``load(as_of=...)``) — physical deletion rewrites history, the
+        same contract as Iceberg ``expire_snapshots``.
+        """
+        import shutil
+
+        st = self.shard_state().get(shard)
+        if st is None:
+            return
+        sdir = os.path.join(self.path, f"shard={shard}")
+        units = self._live_shard_units(shard)
+        if not units:
+            return
+        new_delta = st["delta"] + 1
+        merged_final = os.path.join(sdir, f"merged_{new_delta:04d}")
+
+        def _commit_manifest() -> None:
+            docs = self.spark.read.parquet(f"{merged_final}/docs")
+            row = docs.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sdl")
+            ).collect()[0]
+            n_post = self.spark.read.parquet(
+                f"{merged_final}/postings"
+            ).count()
+            self._append_manifest(
+                {
+                    "shard": shard,
+                    "delta": new_delta,
+                    "watermark_conv": st["watermark_conv"],
+                    "watermark_turn": st["watermark_turn"],
+                    "next_id": st["next_id"],
+                    "n_turns": int(row["n"]),
+                    "n_postings": int(n_post),
+                    "sum_doclen": int(row["sdl"] or 0),
+                    "expunged": True,
+                    "files": ["merged"],
+                }
+            )
+
+        if os.path.isdir(merged_final):
+            # committed by a crashed run: finish manifest + cleanup
+            _commit_manifest()
+            for n in self._live_shard_units(shard):
+                if n != f"merged_{new_delta:04d}":
+                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            return
+
+        paths = [os.path.join(sdir, n) for n in units]
+        tmp = os.path.join(sdir, "_expunge_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        drop = drop.select("docint")
+        post = self.spark.read.parquet(
+            *[f"{p}/postings" for p in paths]
+        ).join(drop, "docint", "left_anti")
+        (
+            post.repartition(
+                max(1, post.rdd.getNumPartitions() // max(1, len(paths)))
+            )
+            .sortWithinPartitions("term", "docint")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/postings")
+        )
+        self.spark.read.parquet(*[f"{p}/docs" for p in paths]).join(
+            drop, "docint", "left_anti"
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        term_stats(
+            self.spark.read.parquet(f"{tmp}/postings").select(
+                "term", "docint", "tf"
+            )
+        ).write.mode("overwrite").parquet(f"{tmp}/terms")
+        if self.blocks:
+            self._write_blocks(tmp)
+        os.rename(tmp, merged_final)  # commit point
+        _commit_manifest()
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def expunge(self, drop: DataFrame) -> None:
+        """Expunge tombstoned docints (``drop``: a docint column) from
+        every shard they touch. One tiny aggregation routes docints to
+        shards (composite ids: ``docint >> SHARD_BITS``); only touched
+        shards are rewritten.
+
+        ``drop`` is MATERIALIZED to a parquet under the store first:
+        its lineage typically reads the very units this loop deletes
+        (e.g. ``tombstones_from_keys`` over ``store.load()``), so the
+        lazy plan must be cut before the first rmtree — and the written
+        file doubles as a durable record of the removal intent."""
+        import shutil
+
+        drop_dir = os.path.join(self.path, "_expunge_drop")
+        drop.select("docint").write.mode("overwrite").parquet(drop_dir)
+        drop = self.spark.read.parquet(drop_dir)
+        touched = sorted(
+            r["_s"]
+            for r in drop.select(
+                F.shiftright(F.col("docint"), SHARD_BITS).alias("_s")
+            )
+            .distinct()
+            .collect()
+        )
+        for s in touched:
+            if 0 <= s < self.n_shards:
+                self.expunge_shard(int(s), drop)
+        shutil.rmtree(drop_dir, ignore_errors=True)
+
     # -- load --------------------------------------------------------------
 
     @staticmethod
@@ -483,8 +610,20 @@ class SegmentStore:
                 F.max("max_docint").alias("max_docint"),
             )
         )
-        n_docs = sum(e["n_turns"] for e in man if "merged_from" not in e)
-        sum_dl = sum(e["sum_doclen"] for e in man if "merged_from" not in e)
+        # fold manifest counts per shard; an expunged entry RESETS its
+        # shard's totals (physical removal supersedes prior increments)
+        per_shard: dict[int, list[int]] = {}
+        for e in man:
+            if "merged_from" in e:
+                continue
+            if e.get("expunged"):
+                per_shard[e["shard"]] = [e["n_turns"], e["sum_doclen"]]
+            else:
+                cur = per_shard.setdefault(e["shard"], [0, 0])
+                cur[0] += e["n_turns"]
+                cur[1] += e["sum_doclen"]
+        n_docs = sum(v[0] for v in per_shard.values())
+        sum_dl = sum(v[1] for v in per_shard.values())
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
         blocks = None
         if all(os.path.isdir(os.path.join(u, "blocks")) for u in units):
