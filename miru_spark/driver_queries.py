@@ -3815,3 +3815,62 @@ JOIN dl ON dl.docint = ct.docint
 ORDER BY ct.score DESC LIMIT 10
 """,
 )
+
+
+# -- snapshot time-travel over the store manifest (incremental.py) -----------
+
+
+def _q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a HISTORICAL store snapshot: build on the first convs,
+    snapshot, append the rest, then serve load(as_of=snapshot) — the
+    Iceberg-style time-travel read over the manifest log
+    (incremental.py snapshot_id/load). The oracle scores the same query
+    over ONLY the prefix corpus, so a pass proves the snapshot read
+    excludes post-snapshot appends with correct historical stats."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+
+    key = f"{id(spark)}:{sf_dir}:snapshot"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark, tempfile.mkdtemp(prefix="miru_snap_"), n_shards=2
+        )
+        store.build(turns.where(F.col("conv_id") < "conv00000060"))
+        snap = store.snapshot_id()
+        store.append(turns)  # post-snapshot history
+        idx = store.load(as_of=snap)
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "window OR part", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_SNAPSHOT_TRANSCRIPTS = (
+    f"SELECT * FROM ({DUCKDB_TRANSCRIPTS}) WHERE conv_id < 'conv00000060'"
+)
+
+_register(
+    "ft_bm25_snapshot",
+    _q_snapshot,
+    f"""{SQL_PRELUDE.replace(DUCKDB_TRANSCRIPTS, _SNAPSHOT_TRANSCRIPTS)},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('window','part')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('window','part') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC, ct.docint DESC LIMIT 10
+""",
+)
