@@ -206,6 +206,64 @@ def main() -> None:
         )
     )
 
+    from miru_spark.operators.conversations import context_windows
+    from miru_spark.query.facets import significant_terms
+    from miru_spark.query.percolate import percolate
+    from miru_spark.query.scoring import search_lm_dirichlet, search_recency
+
+    sections.append(
+        (
+            "Significant terms over the answer set (JLH)",
+            "Answer semi-join → ONE groupBy(term) foreground count → "
+            "broadcast term-stats join; answer size rides as a "
+            "broadcast 1-row cross join; TakeOrdered — no driver "
+            "collect, no window.",
+            significant_terms(idx, "merge", top_n=15),
+        )
+    )
+    sections.append(
+        (
+            "SFT context-window assembly (previous-k turns)",
+            "ONE window partitioned by conv_id with a bounded "
+            "rowsBetween(-k,-1) frame — conversations are bounded, so "
+            "partitions are O(max_turns); context rendered JVM-side "
+            "(concat_ws over collect_list), no Python.",
+            context_windows(transcripts_from_documents(
+                spark, "/root/testdata/sf0.01"), k=2),
+        )
+    )
+    sections.append(
+        (
+            "Percolation (stored queries vs one postings scan)",
+            "Stored queries exploded + BROADCAST; one postings scan "
+            "survives only query terms; groupBy(docint, qid) partial "
+            "agg; ALL-terms check against broadcast query sizes — "
+            "output proportional to matches, never corpus x queries.",
+            percolate(idx, [("q1", ["merge", "batch"]), ("q2", ["hash"])]),
+        )
+    )
+    sections.append(
+        (
+            "LM-Dirichlet top-k",
+            "Same flagship shape as BM25: postings scan ⋈ broadcast "
+            "query terms (+ broadcast 1-row Σcf), one groupBy(docint), "
+            "TakeOrderedAndProject; metadata joined after the limit.",
+            search_lm_dirichlet(idx, "hash OR merge", k=10),
+        )
+    )
+    sections.append(
+        (
+            "Recency-decayed BM25 top-k",
+            "scored_matches (index-only) ⋈ docs(ts) on docint BEFORE "
+            "the heap (decay reorders, so it cannot ride after the "
+            "limit); decay is a column expression; TakeOrdered; "
+            "remaining metadata joined after the limit.",
+            search_recency(
+                idx, "hash OR merge", ref_ts="2024-02-01 00:00:00", k=10
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
