@@ -87,3 +87,54 @@ def test_append_after_expunge(spark, stores, tiny_turns):
     assert idx.n_docs == n_before + n_extra
     # appended docs are searchable alongside the expunged base
     assert idx.docs.where(F.col("turn_idx") == 2).count() > 0  # new convs only
+
+
+def test_expunge_with_blocks_serves_block_paths(spark, tiny_turns):
+    """Expunge on a blocks=True store rewrites block segments too; the
+    block-max paths over the rewritten store stay rank-identical to the
+    flat path on the same index."""
+    from miru_spark.query.blockmax import search_blocks_and, search_blocks_or
+
+    store = SegmentStore(
+        spark,
+        tempfile.mkdtemp(prefix="miru_test_expunge_blk_"),
+        n_shards=2,
+        blocks=True,
+    )
+    store.build(tiny_turns)
+    drop_keys = tiny_turns.where(F.col("turn_idx") % 5 == 1).select(
+        "conv_id", "turn_idx"
+    )
+    dropped = {
+        r["docint"]
+        for r in tombstones_from_keys(store.load(), drop_keys).collect()
+    }
+    assert dropped
+    store.expunge(tombstones_from_keys(store.load(), drop_keys))
+    idx = store.load()
+    assert idx.blocks is not None
+    # expunged docs are physically gone (flat postings AND the docs
+    # row-store; the block paths below are rank-identical to flat, so
+    # they cannot resurface them either)
+    assert idx.postings.where(F.col("docint").isin(list(dropped))).count() == 0
+    assert idx.docs.where(F.col("docint").isin(list(dropped))).count() == 0
+
+    flat_and = [
+        (r["docint"], round(r["score"], 6))
+        for r in search(idx, "w00001 AND w00002", k=10).collect()
+    ]
+    blk_and = [
+        (r["docint"], round(r["score"], 6))
+        for r in search_blocks_and(idx, ["w00001", "w00002"], k=10).collect()
+    ]
+    assert flat_and == blk_and
+
+    flat_or = [
+        (r["docint"], round(r["score"], 6))
+        for r in search(idx, "w00001 OR w00002", k=10).collect()
+    ]
+    blk_or = [
+        (r["docint"], round(r["score"], 6))
+        for r in search_blocks_or(idx, ["w00001", "w00002"], k=10).collect()
+    ]
+    assert flat_or == blk_or
