@@ -3874,3 +3874,51 @@ JOIN dl ON dl.docint = ct.docint
 ORDER BY ct.score DESC, ct.docint DESC LIMIT 10
 """,
 )
+
+
+# -- hit-context fetch (query/context.py) -------------------------------------
+
+
+def _q_ft_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with a rendered +/-1-turn conversation window per hit
+    (query/context.py search_with_context — the RAG grounding fetch)."""
+    from miru_spark.query.context import search_with_context
+
+    out = search_with_context(
+        _index_for(spark, sf_dir), "join OR window", k=10, before=1, after=1
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_context",
+    _q_ft_context,
+    f"""{SQL_PRELUDE},
+m AS (SELECT DISTINCT docint FROM post WHERE term IN ('join','window')),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('join','window') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+),
+topk AS (
+  SELECT dl.conv_id, dl.turn_idx, m.docint,
+         ROUND(COALESCE(ct.score, 0), 4) AS score
+  FROM m
+  LEFT JOIN contrib ct USING (docint)
+  JOIN dl ON dl.docint = m.docint
+  ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+  LIMIT 10
+)
+SELECT tk.conv_id, tk.turn_idx, tk.docint, tk.score,
+       string_agg(t.role || ': ' || t.text, chr(10) ORDER BY t.turn_idx)
+         AS context
+FROM topk tk
+JOIN t ON t.conv_id = tk.conv_id
+      AND t.turn_idx BETWEEN tk.turn_idx - 1 AND tk.turn_idx + 1
+GROUP BY 1, 2, 3, 4
+""",
+)
