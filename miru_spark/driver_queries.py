@@ -3922,3 +3922,79 @@ JOIN t ON t.conv_id = tk.conv_id
 GROUP BY 1, 2, 3, 4
 """,
 )
+
+
+# -- tokenizer vocabulary analytics (operators/textstats.py) -------------------
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage
+    (textstats.vocab_coverage — the tokenizer-sizing curve)."""
+    from miru_spark.operators.textstats import vocab_coverage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(d, top_v=100)
+
+
+_register(
+    "vocab_top_terms",
+    _q_vocab_coverage,
+    """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cf, COUNT(DISTINCT id) AS df FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cf)::DOUBLE AS t FROM tf),
+top AS (
+  SELECT term, cf, df, ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM tf ORDER BY cf DESC, term ASC LIMIT 100
+)
+SELECT top.rank::INT AS rank, top.term, top.cf, top.df,
+       ROUND(SUM(top.cf) OVER (ORDER BY top.rank) / tot.t, 6) AS coverage
+FROM top CROSS JOIN tot
+ORDER BY rank
+""",
+)
+
+
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV fraction against the corpus top-100 vocabulary
+    (textstats.oov_rate — tokenizer-eval companion)."""
+    from miru_spark.operators.textstats import oov_rate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oov_rate(d, top_v=100)
+
+
+_register(
+    "text_oov_rate",
+    _q_oov_rate,
+    """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1
+    ORDER BY cf DESC, term ASC LIMIT 100
+  )
+),
+pd AS (
+  SELECT tf.id, SUM(tf.tf)::INT AS n_tokens,
+         SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)::INT AS n_oov
+  FROM tf LEFT JOIN vocab v USING (term)
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       COALESCE(pd.n_tokens, 0) AS n_tokens,
+       COALESCE(pd.n_oov, 0) AS n_oov,
+       COALESCE(ROUND(pd.n_oov / NULLIF(pd.n_tokens::DOUBLE, 0), 6), 0.0)
+         AS oov_rate
+FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+""",
+)

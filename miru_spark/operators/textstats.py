@@ -527,3 +527,133 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(top_n)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_v: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, term, cf, df, coverage) — tokenizer-vocabulary builder.
+
+    The top-``top_v`` terms by corpus frequency with cumulative corpus
+    coverage: ``coverage`` at rank r is the fraction of ALL token
+    occurrences covered by vocabulary entries 1..r — the curve a
+    tokenizer team reads to size a vocabulary ("how big must V be for
+    99% coverage?"). Ties break by term ascending so the ranking is
+    deterministic across engines.
+
+    Scale: ONE (term) aggregation with map-side combine (the same
+    shuffle shape as the index build's term stats), a
+    TakeOrderedAndProject for the top-V, and the running sum over the
+    V bounded rows in one Arrow batch (same rationale as
+    ranking.rank_small — no unpartitioned WindowExec). The corpus total
+    rides along as a column (crossJoin with a 1-row aggregate), so no
+    driver collect sits on the hot path.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"), F.count_distinct("id").alias("df"))
+    )
+    total = tf.agg(F.sum("cf").cast("double").alias("_t"))
+    top = (
+        tf.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top_v)
+        .crossJoin(F.broadcast(total))
+    )
+    schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("term", StringType(), True),
+            StructField("cf", LongType(), True),
+            StructField("df", LongType(), True),
+            StructField("coverage", DoubleType(), True),
+        ]
+    )
+
+    def cum(batches):
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            yield pd.DataFrame(columns=[f.name for f in schema.fields])
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(
+            by=["cf", "term"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        pdf["rank"] = (pdf.index + 1).astype("int32")
+        pdf["coverage"] = (pdf["cf"].cumsum() / pdf["_t"]).round(6)
+        yield pdf[["rank", "term", "cf", "df", "coverage"]]
+
+    return top.coalesce(1).mapInPandas(cum, schema=schema)
+
+
+def oov_rate(
+    docs: DataFrame,
+    top_v: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_rate) — per-doc out-of-vocabulary
+    fraction against the corpus's own top-``top_v`` vocabulary (see
+    :func:`vocab_coverage`). The tokenizer-eval companion: docs with a
+    high OOV rate under the production vocabulary are the ones that
+    will fragment into byte-fallback garbage during training.
+
+    Scale: the corpus is tokenized ONCE into a persisted per-(id, term)
+    tf relation that feeds both the vocabulary aggregation and the
+    per-doc join; the vocabulary is ≤ ``top_v`` rows — a broadcast
+    left join — then one per-id aggregation. Zero-token docs answer
+    with rate 0.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top_v)
+        .select("term", F.lit(1).alias("_in_v"))
+    )
+    per_doc = (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), F.col("tf")).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.round(
+            F.coalesce(
+                F.col("n_oov") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -635,3 +635,43 @@ def test_survivor_docs(spark):
     )
     assert got.loc[1] == got.loc[2] == got.loc[3] == 2  # best quality
     assert got.loc[10] == got.loc[11] == 10  # tie -> lowest id
+
+
+def test_vocab_coverage(spark):
+    """Vocabulary curve: rank by cf desc / term asc, coverage is the
+    cumulative token fraction and reaches 1.0 at full vocabulary."""
+    from miru_spark.operators.textstats import vocab_coverage
+
+    tiny = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "bb cc aa"), (3, "cc")],
+        "doc_id long, text string",
+    )
+    # corpus: aa:4(df2) bb:2(df2) cc:2(df2), T=8
+    got = vocab_coverage(tiny, top_v=10).toPandas()
+    assert list(got.columns) == ["rank", "term", "cf", "df", "coverage"]
+    assert list(got["term"]) == ["aa", "bb", "cc"]  # cf desc, term asc tie
+    assert list(got["cf"]) == [4, 2, 2]
+    assert list(got["df"]) == [2, 2, 2]
+    assert list(got["coverage"]) == [0.5, 0.75, 1.0]
+    # truncated vocabulary keeps the prefix of the same curve
+    top2 = vocab_coverage(tiny, top_v=2).toPandas()
+    assert list(top2["term"]) == ["aa", "bb"]
+    assert list(top2["coverage"]) == [0.5, 0.75]
+
+
+def test_oov_rate(spark):
+    """OOV fraction against the top-V corpus vocabulary; empty docs
+    answer with rate 0."""
+    from miru_spark.operators.textstats import oov_rate
+
+    tiny = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "bb cc aa"), (3, "cc"), (4, "")],
+        "doc_id long, text string",
+    )
+    # top_v=1 vocabulary = {aa}; doc1: 1/4 OOV, doc2: 2/3, doc3: 1/1
+    got = oov_rate(tiny, top_v=1).toPandas().set_index("id").sort_index()
+    assert got.loc[1, "n_tokens"] == 4 and got.loc[1, "n_oov"] == 1
+    assert got.loc[1, "oov_rate"] == 0.25
+    assert got.loc[2, "n_oov"] == 2 and abs(got.loc[2, "oov_rate"] - 0.666667) < 1e-6
+    assert got.loc[3, "oov_rate"] == 1.0
+    assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "oov_rate"] == 0.0
