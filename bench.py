@@ -146,7 +146,8 @@ def main() -> None:
                  "conv_stats", "conv_role_flow", "conv_context_sft",
                  "text_pii_scrub", "ft_bm25_recency", "ft_lm_dirichlet",
                  "ft_percolate", "ft_bm25_expunge", "ft_bm25_snapshot",
-                 "ft_bm25_context", "vocab_top_terms", "text_oov_rate"]:
+                 "ft_bm25_context", "vocab_top_terms", "text_oov_rate",
+                 "ft_explain"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -3998,3 +3998,57 @@ SELECT d.doc_id AS id,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
 """,
 )
+
+
+# -- score explanation (query/explain.py) --------------------------------------
+
+
+def _q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hit, term) BM25 contribution breakdown for the top-10 of an
+    AND query (query/explain.py — the Lucene Explanation parity)."""
+    from miru_spark.query.explain import explain_scores
+
+    out = explain_scores(_index_for(spark, sf_dir), "spark AND join", k=10)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "docint",
+        "term",
+        "tf",
+        "doclen",
+        F.round("idf", 4).alias("idf"),
+        F.round("contrib", 4).alias("contrib"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_register(
+    "ft_explain",
+    _q_ft_explain,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('spark','join')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+ct AS (
+  SELECT p.docint, p.term, p.tf, dl.doclen,
+         ln(1 + (c.n_docs - s.df + 0.5) / (s.df + 0.5)) AS idf,
+         {_BM25} AS contrib
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark','join') AND p.docint IN (SELECT docint FROM m)
+),
+topk AS (
+  SELECT docint, SUM(contrib) AS score FROM ct
+  GROUP BY 1 ORDER BY score DESC, docint DESC LIMIT 10
+)
+SELECT dl.conv_id, dl.turn_idx, ct.docint, ct.term, ct.tf, ct.doclen,
+       ROUND(ct.idf, 4) AS idf, ROUND(ct.contrib, 4) AS contrib,
+       ROUND(tk.score, 4) AS score
+FROM topk tk
+JOIN ct USING (docint)
+JOIN dl ON dl.docint = ct.docint
+""",
+)

@@ -138,3 +138,29 @@ def test_paging_time_strategy(built):
         idx, "w00000", k=10, strategy="time", exclude=p1["docint"].tolist()
     ).toPandas()
     assert p1["docint"].tolist() + p2["docint"].tolist() == single["docint"].tolist()
+
+
+def test_explain_scores_decomposition(built):
+    """explain_scores rows reproduce the top-k exactly and each hit's
+    per-term contributions sum to its score; non-fusable queries refuse."""
+    import pytest as _pytest
+
+    from miru_spark.query.explain import explain_scores
+
+    idx, _ = built
+    q = "w00001 OR w00002"
+    hits = search(idx, q, k=5).toPandas()
+    ex = explain_scores(idx, q, k=5).toPandas()
+    assert set(ex["docint"]) == set(hits["docint"])
+    sums = ex.groupby("docint")["contrib"].sum()
+    for _, h in hits.iterrows():
+        assert abs(sums[h["docint"]] - h["score"]) < 1e-9
+    # factor sanity: contrib recomputes from the row's own (tf, idf, doclen)
+    row = ex.iloc[0]
+    recomputed = (
+        row["idf"] * row["tf"] * 2.2
+        / (row["tf"] + 1.2 * (0.25 + 0.75 * row["doclen"] / idx.avg_doclen))
+    )
+    assert abs(recomputed - row["contrib"]) < 1e-9
+    with _pytest.raises(ValueError):
+        explain_scores(idx, "NOT w00001", k=5)
