@@ -4052,3 +4052,35 @@ JOIN ct USING (docint)
 JOIN dl ON dl.docint = ct.docint
 """,
 )
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram over power-of-two buckets
+    (textstats.length_histogram — the corpus-report length chart)."""
+    from miru_spark.operators.textstats import length_histogram
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_histogram(d)
+
+
+_register(
+    "text_length_histogram",
+    _q_length_histogram,
+    """
+WITH tok AS (
+  SELECT doc_id AS id,
+         len(regexp_extract_all(lower(text), '[a-z0-9'']+'))::INT AS n
+  FROM documents
+),
+b AS (
+  SELECT (CASE WHEN n <= 0 THEN -1 ELSE length(bin(n)) - 1 END)::INT AS bucket, n
+  FROM tok
+)
+SELECT bucket,
+       (CASE WHEN bucket < 0 THEN 0 ELSE 1::BIGINT << bucket END)::BIGINT AS lo,
+       (CASE WHEN bucket < 0 THEN 0
+             ELSE (1::BIGINT << (bucket + 1)) - 1 END)::BIGINT AS hi,
+       COUNT(*) AS n_docs, SUM(n)::BIGINT AS n_tokens
+FROM b GROUP BY 1, 2, 3 ORDER BY bucket
+""",
+)

@@ -657,3 +657,45 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def length_histogram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bucket, lo, hi, n_docs, n_tokens) — corpus token-length
+    histogram over power-of-two buckets (bucket b covers [2^b, 2^(b+1)),
+    zero-token docs in bucket -1). The first chart in any corpus report:
+    where the token mass sits, how heavy the short-doc tail is.
+
+    The bucket id is ``bitlength(n_tokens) - 1`` computed via the
+    base-2 string length — pure integer arithmetic, so engines can't
+    disagree at power-of-two boundaries the way ``floor(log2(n))``
+    can by one ulp. One narrow per-doc projection + a tiny groupBy
+    (≤ ~40 buckets) — map-side combine collapses it before the shuffle.
+    """
+    n = F.size(tokens_col(text_col))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0.0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")))
+            .cast("bigint")
+            .alias("lo"),
+            F.when(F.col("bucket") < 0, F.lit(0.0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("bigint")
+            .alias("hi"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("bucket")
+    )

@@ -675,3 +675,22 @@ def test_oov_rate(spark):
     assert got.loc[2, "n_oov"] == 2 and abs(got.loc[2, "oov_rate"] - 0.666667) < 1e-6
     assert got.loc[3, "oov_rate"] == 1.0
     assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "oov_rate"] == 0.0
+
+
+def test_length_histogram(spark):
+    """Power-of-two length buckets: integer bucket math, inclusive
+    [lo, hi] edges, zero-token docs in bucket -1."""
+    from miru_spark.operators.textstats import length_histogram
+
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = length_histogram(tiny).toPandas().set_index("bucket")
+    assert list(got.index) == [-1, 0, 1, 2]
+    assert got.loc[-1, "n_docs"] == 1 and got.loc[-1, "n_tokens"] == 0
+    assert got.loc[0, "lo"] == 1 and got.loc[0, "hi"] == 1
+    assert got.loc[1, "lo"] == 2 and got.loc[1, "hi"] == 3
+    assert got.loc[1, "n_docs"] == 2 and got.loc[1, "n_tokens"] == 5
+    assert got.loc[2, "lo"] == 4 and got.loc[2, "hi"] == 7
+    assert got.loc[2, "n_docs"] == 1
