@@ -264,6 +264,51 @@ def main() -> None:
         )
     )
 
+    from miru_spark.operators.textstats import oov_rate, vocab_coverage
+    from miru_spark.query.context import search_with_context
+    from miru_spark.query.explain import explain_scores
+
+    sections.append(
+        (
+            "Hit-context fetch (top-k + conversation windows)",
+            "k hits BROADCAST against ONE docs scan with the turn "
+            "window as the join range condition — output is "
+            "k·(before+after+1) rows; context rendered JVM-side "
+            "(array_sort + transform over collect_list).",
+            search_with_context(idx, "hash OR merge", k=10, before=1, after=1),
+        )
+    )
+    sections.append(
+        (
+            "Score explanation (per-hit BM25 factor breakdown)",
+            "Postings touched ONLY under the query term predicate "
+            "(index-only), immediately joined to the BROADCAST k hits "
+            "— ≤ k·n_terms rows; idf from the broadcast query-term "
+            "table; no corpus-sized intermediate.",
+            explain_scores(idx, "hash OR merge", k=10),
+        )
+    )
+    sections.append(
+        (
+            "Vocabulary coverage curve + per-doc OOV rate",
+            "ONE (term) aggregation with map-side combine → "
+            "TakeOrderedAndProject top-V → running sum over the V "
+            "bounded rows in one Arrow batch (no unpartitioned "
+            "WindowExec); OOV joins the ≤V-row vocabulary BROADCAST "
+            "against a persisted per-(id,term) tf relation.",
+            vocab_coverage(docs_tbl, top_v=100),
+        )
+    )
+    sections.append(
+        (
+            "Per-doc OOV rate vs top-V vocabulary",
+            "Corpus tokenized ONCE (persisted tf); vocabulary ≤ V rows "
+            "broadcast-left-joined; one per-id aggregation; zero-token "
+            "docs answered by a left join on the doc ids.",
+            oov_rate(docs_tbl, top_v=100),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
