@@ -147,7 +147,8 @@ def main() -> None:
                  "text_pii_scrub", "ft_bm25_recency", "ft_lm_dirichlet",
                  "ft_percolate", "ft_bm25_expunge", "ft_bm25_snapshot",
                  "ft_bm25_context", "vocab_top_terms", "text_oov_rate",
-                 "ft_explain", "text_length_histogram"]:
+                 "ft_explain", "text_length_histogram",
+                 "streaming_waveform_counts"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

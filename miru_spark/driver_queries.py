@@ -4084,3 +4084,63 @@ SELECT bucket,
 FROM b GROUP BY 1, 2, 3 ORDER BY bucket
 """,
 )
+
+
+# -- streaming waveform (streaming/ingest.py) ----------------------------------
+
+_STREAM_SINK_SEQ = [0]
+
+
+def _q_streaming_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING waveform path under a hard oracle: the transcript
+    corpus is written to a directory, drained through the Structured
+    Streaming windowed term-count aggregation (streaming/ingest.py
+    streaming_waveform, availableNow trigger, memory sink), and the
+    drained result is compared against the batch time-bucket oracle —
+    exactly-once file-source semantics make the streamed counts equal
+    the batch GROUP BY."""
+    import shutil
+    import tempfile
+
+    from miru_spark.streaming.ingest import streaming_waveform
+
+    turns_dir = tempfile.mkdtemp(prefix="miru_stream_wf_")
+    try:
+        transcripts_from_documents(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(turns_dir)
+        _STREAM_SINK_SEQ[0] += 1
+        sink = f"wf_sink_{_STREAM_SINK_SEQ[0]}"
+        wf = streaming_waveform(
+            spark, turns_dir, window="1 hour", watermark="2 hours"
+        )
+        q = (
+            wf.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .select("bucket_start", "term", "n")
+            .orderBy("bucket_start", "term")
+        )
+        # materialize before the source directory disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(turns_dir, ignore_errors=True)
+
+
+_register(
+    "streaming_waveform_counts",
+    _q_streaming_waveform,
+    f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS}),
+tok AS (SELECT ts, unnest({_TOK}) AS term FROM t)
+SELECT date_trunc('hour', ts) AS bucket_start, term, COUNT(*)::BIGINT AS n
+FROM tok GROUP BY 1, 2
+ORDER BY bucket_start, term
+""",
+)
