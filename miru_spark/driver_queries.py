@@ -4144,3 +4144,66 @@ FROM tok GROUP BY 1, 2
 ORDER BY bucket_start, term
 """,
 )
+
+
+def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a store populated ONLY by the Structured-Streaming sip
+    tail (streaming/ingest.py stream_ingest): the corpus arrives as two
+    file chunks drained by two availableNow runs sharing a checkpoint
+    (exactly-once file discovery + the store's per-shard watermark), so
+    the loaded index must equal a full batch build. Query terms differ
+    from ft_bm25_incremental / sync_store for independent signal; output
+    is id-space-neutral (conv_id, turn_idx, score) like those rows."""
+    import shutil
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+    from miru_spark.streaming.ingest import stream_ingest
+
+    turns = transcripts_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="miru_stream_sip_")
+    try:
+        src = f"{root}/incoming"
+        ckpt = f"{root}/ckpt"
+        store = SegmentStore(spark, f"{root}/seg", n_shards=2)
+        turns.where(F.col("conv_id") < "conv00000050").write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_ingest(spark, src, store, ckpt)
+        assert q.awaitTermination(300), "stream did not terminate"
+        turns.where(F.col("conv_id") >= "conv00000050").write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_ingest(spark, src, store, ckpt)
+        assert q.awaitTermination(300), "stream did not terminate"
+        out = search(store.load(), "hash AND batch", k=10).select(
+            "conv_id", "turn_idx", F.round("score", 4).alias("score")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_register(
+    "ft_bm25_stream_ingest",
+    _q_stream_ingest,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('hash','batch')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('hash','batch') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
