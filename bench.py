@@ -148,7 +148,8 @@ def main() -> None:
                  "ft_percolate", "ft_bm25_expunge", "ft_bm25_snapshot",
                  "ft_bm25_context", "vocab_top_terms", "text_oov_rate",
                  "ft_explain", "text_length_histogram",
-                 "streaming_waveform_counts", "ft_bm25_stream_ingest"]:
+                 "streaming_waveform_counts", "ft_bm25_stream_ingest",
+                 "streaming_unread_inbox"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -4207,3 +4207,95 @@ JOIN dl ON dl.docint = ct.docint
 ORDER BY ct.score DESC LIMIT 10
 """,
 )
+
+
+def _q_unread_inbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful inbox operator (streaming/unread.py,
+    applyInPandasWithState) under a hard oracle: inbox events are
+    derived deterministically from the events table (click/purchase/
+    signup → msg, view → read, error → mark_all_read; msg_id =
+    event_id), drained in ONE availableNow batch so each key folds its
+    full (ts, msg_id)-ordered history, and the final per-(user, stream)
+    state is compared to the batch SQL equivalent — reads and
+    mark-all-reads only ever raise the watermark, so the sequential
+    fold equals a max over per-event contributions (the run_max window
+    in the oracle)."""
+    import shutil
+    import tempfile
+
+    from miru_spark.streaming.unread import unread_counts
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.concat(F.lit("s"), (F.col("event_id") % 3).cast("string")).alias(
+                "stream_id"
+            ),
+            "user_id",
+            F.when(F.col("event_type") == "view", "read")
+            .when(F.col("event_type") == "error", "mark_all_read")
+            .otherwise("msg")
+            .alias("kind"),
+            F.col("event_id").alias("msg_id"),
+            "ts",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="miru_unread_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(root)
+        src = spark.readStream.schema(ev.schema).parquet(root)
+        _STREAM_SINK_SEQ[0] += 1
+        sink = f"unread_sink_{_STREAM_SINK_SEQ[0]}"
+        q = (
+            unread_counts(src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not terminate"
+        out = spark.table(sink).select(
+            "user_id", "stream_id", "n_msgs", "unread", "last_read"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_register(
+    "streaming_unread_inbox",
+    _q_unread_inbox,
+    """
+WITH ev AS (
+  SELECT 's' || (event_id % 3) AS stream_id, user_id,
+         CASE event_type WHEN 'view' THEN 'read'
+                         WHEN 'error' THEN 'mark_all_read'
+                         ELSE 'msg' END AS kind,
+         event_id AS msg_id, ts
+  FROM events
+),
+seq AS (
+  SELECT *, MAX(CASE WHEN kind = 'msg' THEN msg_id END)
+            OVER (PARTITION BY user_id, stream_id ORDER BY ts, msg_id
+                  ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM ev
+),
+agg AS (
+  SELECT user_id, stream_id,
+         COUNT(CASE WHEN kind = 'msg' THEN 1 END)::INT AS n_msgs,
+         GREATEST(
+           COALESCE(MAX(CASE WHEN kind = 'read' THEN msg_id END), -1),
+           COALESCE(MAX(CASE WHEN kind = 'mark_all_read' THEN run_max END), -1)
+         )::BIGINT AS last_read
+  FROM seq GROUP BY 1, 2
+)
+SELECT a.user_id, a.stream_id, a.n_msgs,
+       COALESCE(SUM(CASE WHEN e.kind = 'msg' AND e.msg_id > a.last_read
+                         THEN 1 END), 0)::INT AS unread,
+       a.last_read
+FROM agg a
+LEFT JOIN ev e ON e.user_id = a.user_id AND e.stream_id = a.stream_id
+GROUP BY 1, 2, 3, 5
+""",
+)

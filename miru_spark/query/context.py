@@ -49,7 +49,10 @@ def search_with_context(
         "score",
     )
     neigh = index.docs.select(
-        "conv_id",
+        # explicit alias: hits' conv_id descends from the same attribute,
+        # and a same-id equi-join draws Spark's "trivially true equals"
+        # warning even though plan-side resolution keeps it correct
+        F.col("conv_id").alias("_ctx_conv"),
         F.col("turn_idx").alias("_ctx_turn"),
         F.concat_ws(": ", F.col("role"), F.col("text")).alias("_line"),
     )
@@ -57,7 +60,7 @@ def search_with_context(
         F.broadcast(hits)
         .join(
             neigh,
-            (hits["conv_id"] == neigh["conv_id"])
+            (hits["conv_id"] == neigh["_ctx_conv"])
             & (neigh["_ctx_turn"] >= hits["_hit_turn"] - before)
             & (neigh["_ctx_turn"] <= hits["_hit_turn"] + after),
         )
