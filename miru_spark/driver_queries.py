@@ -4299,3 +4299,27 @@ LEFT JOIN ev e ON e.user_id = a.user_id AND e.stream_id = a.stream_id
 GROUP BY 1, 2, 3, 5
 """,
 )
+
+
+def _q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match: top-10 docs matching >= 2 of 4 OR'd terms
+    (query/bm25.py search_min_should_match — Lucene
+    BooleanQuery.setMinimumNumberShouldMatch)."""
+    from miru_spark.query.bm25 import search_min_should_match
+
+    out = search_min_should_match(
+        _index_for(spark, sf_dir), "spark OR join OR merge OR hash", m=2, k=10
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_min_should_match",
+    _q_min_should_match,
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term IN ('spark','join','merge','hash') "
+        "GROUP BY docint HAVING COUNT(DISTINCT term) >= 2",
+        "p.term IN ('spark','join','merge','hash')",
+        10,
+    ),
+)

@@ -425,3 +425,89 @@ def search(
         .select("docint", "score")
     )
     return _finish(topk)
+
+
+def search_min_should_match(
+    index: InvertedIndex,
+    query: str | Node,
+    m: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k with Lucene/ES ``minimum_should_match`` semantics: an OR
+    query matches only docs containing at least ``m`` of its n leaves
+    (Lucene BooleanQuery.setMinimumNumberShouldMatch — between the
+    engine's AND (m = n) and OR (m = 1) extremes). All matched leaves
+    contribute to the score, exactly like the plain OR path.
+
+    Same fused single-scan plan as :func:`search`: the postings scan
+    survives only query terms, ONE groupBy(docint) computes score +
+    per-leaf presence, the m-of-n check is a post-aggregation filter,
+    TakeOrderedAndProject takes the k. Supports the fusable query class
+    (OR of text terms/prefixes after the multi-term rewrite).
+    """
+    from miru_spark.query.filters import expand_multiterm
+
+    node = expand_multiterm(
+        index, parse_query(query) if isinstance(query, str) else query
+    )
+    f = _fusable(node)
+    if f is None:
+        raise ValueError("min_should_match needs a fusable AND/OR text query")
+    _, leaves = f
+
+    exact = sorted({l.value for l in leaves if isinstance(l, Term)})
+    prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
+    pred = None
+    if exact:
+        pred = F.col("term").isin(exact)
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pred = c if pred is None else (pred | c)
+
+    qterms = _query_term_weights(index, leaves, pred)
+    hits = (
+        index.postings.where(pred)
+        .join(qterms, "term")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+    )
+    aggs = [F.sum("contrib").alias("score")]
+    if exact:
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("term").isin(exact), F.col("term"))
+            ).alias("_ne")
+        )
+    for i, p in enumerate(prefixes):
+        aggs.append(
+            F.max(F.when(F.col("term").startswith(p), 1).otherwise(0)).alias(
+                f"_p{i}"
+            )
+        )
+    agg = hits.groupBy("docint").agg(*aggs)
+    n_present = F.lit(0)
+    if exact:
+        n_present = n_present + F.col("_ne")
+    for i in range(len(prefixes)):
+        n_present = n_present + F.col(f"_p{i}")
+    agg = agg.where(n_present >= m)
+    if index.tombstones is not None:
+        agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
+    topk = (
+        agg.orderBy(F.desc("score"), F.desc("docint"))
+        .limit(k)
+        .select("docint", "score")
+    )
+    meta = index.docs.select("docint", "conv_id", "turn_idx")
+    return (
+        topk.join(meta, "docint")
+        .orderBy(F.desc("score"), F.desc("docint"))
+        .select("conv_id", "turn_idx", "docint", "score")
+    )

@@ -164,3 +164,27 @@ def test_explain_scores_decomposition(built):
     assert abs(recomputed - row["contrib"]) < 1e-9
     with _pytest.raises(ValueError):
         explain_scores(idx, "NOT w00001", k=5)
+
+
+def test_min_should_match_bounds(built, small_pdf):
+    """m=1 equals plain OR; m=n equals AND; m between prunes to docs
+    with >= m distinct query terms, all matched terms scoring."""
+    from miru_spark.query.bm25 import search_min_should_match
+
+    idx, oracle = built
+    q = "w00001 OR w00002 OR w00003"
+    or_hits = search(idx, q, k=10).toPandas()
+    m1 = search_min_should_match(idx, q, m=1, k=10).toPandas()
+    assert list(m1["docint"]) == list(or_hits["docint"])
+    and_hits = search(idx, "w00001 AND w00002 AND w00003", k=10).toPandas()
+    m3 = search_min_should_match(idx, q, m=3, k=10).toPandas()
+    assert list(m3["docint"]) == list(and_hits["docint"])
+    # m=2: every hit has >= 2 of the three terms (checked in the corpus)
+    m2 = search_min_should_match(idx, q, m=2, k=10).toPandas()
+    terms = {"w00001", "w00002", "w00003"}
+    by_doc = small_pdf.set_index(["conv_id", "turn_idx"])["text"]
+    from miru_spark.tokenize import tokenize_py
+
+    for _, h in m2.iterrows():
+        toks = set(tokenize_py(by_doc.loc[(h["conv_id"], h["turn_idx"])]))
+        assert len(toks & terms) >= 2
