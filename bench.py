@@ -149,7 +149,8 @@ def main() -> None:
                  "ft_bm25_context", "vocab_top_terms", "text_oov_rate",
                  "ft_explain", "text_length_histogram",
                  "streaming_waveform_counts", "ft_bm25_stream_ingest",
-                 "streaming_unread_inbox", "ft_bm25_min_should_match"]:
+                 "streaming_unread_inbox", "ft_bm25_min_should_match",
+                 "ft_bm25_dismax"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

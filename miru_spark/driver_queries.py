@@ -4323,3 +4323,44 @@ _register(
         10,
     ),
 )
+
+
+def _q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMax scoring (max + 0.3·rest) over four OR'd terms
+    (query/bm25.py search_dismax — Lucene DisjunctionMaxQuery)."""
+    from miru_spark.query.bm25 import search_dismax
+
+    out = search_dismax(
+        _index_for(spark, sf_dir),
+        "spark OR join OR merge OR hash",
+        tie_breaker=0.3,
+        k=10,
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_dismax",
+    _q_dismax,
+    f"""{SQL_PRELUDE},
+ct AS (
+  SELECT p.docint, {_BM25} AS contrib
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark','join','merge','hash')
+),
+agg AS (
+  SELECT docint,
+         MAX(contrib) + 0.3 * (SUM(contrib) - MAX(contrib)) AS score
+  FROM ct GROUP BY 1
+),
+topk AS (
+  SELECT docint, score FROM agg ORDER BY score DESC, docint DESC LIMIT 10
+)
+SELECT dl.conv_id, dl.turn_idx, tk.docint, ROUND(tk.score, 4) AS score
+FROM topk tk JOIN dl ON dl.docint = tk.docint
+ORDER BY tk.score DESC, tk.docint DESC
+""",
+)

@@ -511,3 +511,73 @@ def search_min_should_match(
         .orderBy(F.desc("score"), F.desc("docint"))
         .select("conv_id", "turn_idx", "docint", "score")
     )
+
+
+def search_dismax(
+    index: InvertedIndex,
+    query: str | Node,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k under Lucene DisjunctionMaxQuery scoring: a doc's score is
+    its BEST single-term contribution plus ``tie_breaker`` times the
+    rest (``max + tie·(sum − max)``) — the ranking that stops multi-term
+    synonym/field expansions from out-scoring a single strong match by
+    sheer clause count. ``tie_breaker=1`` degenerates to the plain OR
+    sum; ``0`` is pure max.
+
+    Same fused single-scan plan as :func:`search` — the max/sum pair
+    rides in the ONE groupBy(docint) aggregation.
+    """
+    from miru_spark.query.filters import expand_multiterm
+
+    node = expand_multiterm(
+        index, parse_query(query) if isinstance(query, str) else query
+    )
+    f = _fusable(node)
+    if f is None:
+        raise ValueError("dismax needs a fusable OR text query")
+    _, leaves = f
+
+    exact = sorted({l.value for l in leaves if isinstance(l, Term)})
+    prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
+    pred = None
+    if exact:
+        pred = F.col("term").isin(exact)
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pred = c if pred is None else (pred | c)
+
+    qterms = _query_term_weights(index, leaves, pred)
+    hits = (
+        index.postings.where(pred)
+        .join(qterms, "term")
+        .withColumn(
+            "contrib",
+            bm25_contrib(
+                F.col("tf").cast("double"),
+                F.col("idf"),
+                F.col("doclen").cast("double"),
+                index.avg_doclen,
+            ),
+        )
+    )
+    agg = hits.groupBy("docint").agg(
+        (
+            F.max("contrib")
+            + F.lit(float(tie_breaker)) * (F.sum("contrib") - F.max("contrib"))
+        ).alias("score")
+    )
+    if index.tombstones is not None:
+        agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
+    topk = (
+        agg.orderBy(F.desc("score"), F.desc("docint"))
+        .limit(k)
+        .select("docint", "score")
+    )
+    meta = index.docs.select("docint", "conv_id", "turn_idx")
+    return (
+        topk.join(meta, "docint")
+        .orderBy(F.desc("score"), F.desc("docint"))
+        .select("conv_id", "turn_idx", "docint", "score")
+    )

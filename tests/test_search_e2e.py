@@ -188,3 +188,21 @@ def test_min_should_match_bounds(built, small_pdf):
     for _, h in m2.iterrows():
         toks = set(tokenize_py(by_doc.loc[(h["conv_id"], h["turn_idx"])]))
         assert len(toks & terms) >= 2
+
+
+def test_dismax_bounds(built):
+    """tie_breaker=1 equals the plain OR sum; tie_breaker=0 is pure max
+    (never exceeds the sum, equals it for single-term hits)."""
+    from miru_spark.query.bm25 import search_dismax
+
+    idx, _ = built
+    q = "w00001 OR w00002 OR w00003"
+    or_hits = search(idx, q, k=10).toPandas()
+    d1 = search_dismax(idx, q, tie_breaker=1.0, k=10).toPandas()
+    assert list(d1["docint"]) == list(or_hits["docint"])
+    assert max(abs(d1["score"] - or_hits["score"])) < 1e-9
+    d0 = search_dismax(idx, q, tie_breaker=0.0, k=10).toPandas()
+    sums = or_hits.set_index("docint")["score"]
+    for _, h in d0.iterrows():
+        if h["docint"] in sums.index:
+            assert h["score"] <= sums[h["docint"]] + 1e-9
