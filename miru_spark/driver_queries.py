@@ -4364,3 +4364,84 @@ FROM topk tk JOIN dl ON dl.docint = tk.docint
 ORDER BY tk.score DESC, tk.docint DESC
 """,
 )
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordering conversion funnel over the event stream: per
+    user, the earliest view, the earliest click AFTER that view, the
+    earliest purchase AFTER that click — per-stage user counts. The
+    ordering constraint is what separates a funnel from three
+    independent counts (a click before any view does not convert).
+
+    Scale: three per-user MIN aggregations chained by broadcast-sized
+    per-user timestamps — each stage is one groupBy(user_id) with
+    map-side combine over a filtered scan; no windows, no per-user
+    sequence materialization."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = (
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("event"), "user_id")
+        .unionByName(
+            c.select(
+                F.lit(2).alias("stage"), F.lit("click").alias("event"), "user_id"
+            )
+        )
+        .unionByName(
+            p.select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase").alias("event"),
+                "user_id",
+            )
+        )
+    )
+    return (
+        rows.groupBy("stage", "event")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+_register(
+    "funnel_events",
+    _q_funnel,
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT 1 AS stage, 'view' AS event, COUNT(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT 2, 'click', COUNT(*)::BIGINT FROM c
+UNION ALL
+SELECT 3, 'purchase', COUNT(*)::BIGINT FROM p
+ORDER BY stage
+""",
+)

@@ -694,3 +694,42 @@ def test_length_histogram(spark):
     assert got.loc[1, "n_docs"] == 2 and got.loc[1, "n_tokens"] == 5
     assert got.loc[2, "lo"] == 4 and got.loc[2, "hi"] == 7
     assert got.loc[2, "n_docs"] == 1
+
+
+def test_funnel_strict_ordering(spark):
+    """A click BEFORE the user's first view must not convert; stages
+    only count users who completed the previous stage earlier in time."""
+    from datetime import datetime
+
+    from miru_spark.driver_queries import QUERIES  # uses the same logic
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2: click precedes the first view -> stalls at view
+        (4, "2024-01-01 00:00:30", 2, "click"),
+        (5, "2024-01-01 00:01:30", 2, "view"),
+        # u3: view + purchase but no click -> stalls at view
+        (6, "2024-01-01 00:00:10", 3, "view"),
+        (7, "2024-01-01 00:03:00", 3, "purchase"),
+    ]
+    import tempfile
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.fromisoformat(ts), u, k, 0.0, "{}")
+            for i, ts, u, k in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="miru_funnel_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = (
+        QUERIES["funnel_events"](spark, d)
+        .toPandas()
+        .set_index("event")["n_users"]
+    )
+    assert got["view"] == 3 and got["click"] == 1 and got["purchase"] == 1
