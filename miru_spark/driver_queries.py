@@ -4445,3 +4445,54 @@ SELECT 3, 'purchase', COUNT(*)::BIGINT FROM p
 ORDER BY stage
 """,
 )
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users grouped by
+    first-activity week, counted in each later week they return.
+    Week buckets are integer days-since-epoch-date // 7 (identical
+    arithmetic in both engines — no locale-dependent week truncation).
+
+    Scale: one groupBy(user) for the cohort week, one distinct
+    (user, week) projection, one broadcast-sized join back — shuffle
+    keys are the uniform user id, output is cohorts × offsets."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        )
+        .cast("int")
+        .alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_register(
+    "retention_cohorts",
+    _q_retention,
+    """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         (datediff('day', DATE '2024-01-01', ts::DATE) // 7)::INT AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+SELECT c.cohort_week, (e.week - c.cohort_week)::INT AS week_offset,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+FROM ev e JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)

@@ -733,3 +733,35 @@ def test_funnel_strict_ordering(spark):
         .set_index("event")["n_users"]
     )
     assert got["view"] == 3 and got["click"] == 1 and got["purchase"] == 1
+
+
+def test_retention_cohorts(spark):
+    """Cohort = first-activity week; offsets count returning users only
+    in weeks they were actually active."""
+    import tempfile
+    from datetime import datetime
+
+    from miru_spark.driver_queries import QUERIES
+
+    rows = [
+        (1, "2024-01-02", 1), (2, "2024-01-10", 1), (3, "2024-01-16", 1),
+        (4, "2024-01-03", 2),
+        (5, "2024-01-09", 3), (6, "2024-01-17", 3),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.fromisoformat(d), u, "view", 0.0, "{}")
+            for i, d, u in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="miru_ret_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = QUERIES["retention_cohorts"](spark, d).toPandas()
+    by = {(r.cohort_week, r.week_offset): r.n_users for r in got.itertuples()}
+    # week 0 cohort: u1, u2 -> u1 returns at offsets 1 and 2
+    assert by[(0, 0)] == 2 and by[(0, 1)] == 1 and by[(0, 2)] == 1
+    # week 1 cohort: u3 -> returns at offset 1
+    assert by[(1, 0)] == 1 and by[(1, 1)] == 1
+    assert len(by) == 5
