@@ -57,19 +57,18 @@ def exact_dup_groups(
 def shingles(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct token k-grams per doc."""
-    toks = tokens_col(text_col)
-    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark — short docs
-    # must yield an empty shingle list, not a bogus one
-    sh = F.expr(
-        f"CASE WHEN size(tokens) >= {k} THEN "
-        f"transform(sequence(1, size(tokens) - {k - 1}), "
-        f"i -> array_join(slice(tokens, i, {k}), ' ')) "
-        f"ELSE array() END"
-    )
+    """(id, shingle) — distinct token k-grams per doc.
+
+    Built as posexplode + ``lead`` over a per-doc window (same shape as
+    textstats ``_doc_ngrams``): the window is partitioned by the
+    high-cardinality doc id, so it stays in whole-stage codegen. The
+    previous ``transform(sequence(…), i -> array_join(slice(…)))``
+    higher-order-function build ran interpreted and measured ~10×
+    slower on the same gram volume (BENCH/BASELINE.md microbench).
+    """
     return (
-        docs.select(F.col(id_col).alias("id"), toks.alias("tokens"))
-        .select("id", F.explode(sh).alias("shingle"))
+        _span_occurrences(docs, k, id_col, text_col)
+        .select("id", F.col("gram").alias("shingle"))
         .distinct()
     )
 
@@ -427,17 +426,28 @@ def _span_occurrences(
 ) -> DataFrame:
     """(id, pos, gram): every k-token window of every doc WITH its
     position (unlike :func:`shingles`, occurrences are not deduped —
-    positions drive span removal)."""
-    toks = tokens_col(text_col)
-    grams = F.expr(
-        f"CASE WHEN size(tokens) >= {k} THEN "
-        f"transform(sequence(0, size(tokens) - {k}), "
-        f"i -> array_join(slice(tokens, i + 1, {k}), ' ')) "
-        f"ELSE array() END"
-    )
+    positions drive span removal).
+
+    posexplode + ``lead`` over a per-doc window: codegen'd, no
+    interpreted higher-order functions (see :func:`shingles`). A gram
+    exists at ``pos`` iff token ``pos + k - 1`` exists, so filtering on
+    the LAST lead being non-null both drops short tails and guarantees
+    every intermediate lead is populated.
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+    ).select("id", F.posexplode("t").alias("pos", "w"))
+    win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    last = F.lead("w", k - 1).over(win)
     return (
-        docs.select(F.col(id_col).alias("id"), toks.alias("tokens"))
-        .select("id", F.posexplode(grams).alias("pos", "gram"))
+        ex.select(
+            "id", "pos", F.concat_ws(" ", *parts).alias("gram"), last.alias("_ok")
+        )
+        .where(F.col("_ok").isNotNull())
+        .drop("_ok")
     )
 
 
