@@ -175,6 +175,7 @@ class SegmentStore:
         ``groupBy(_shard).count()`` job decides which shards have fresh
         rows — an empty append costs one Spark job total, not one
         ``limit(1).count()`` probe per shard."""
+        self.recover()
         state = self.shard_state()
         with_shard = new_turns.withColumn("_shard", shard_col(self.n_shards))
         wm_rows = [
@@ -208,10 +209,17 @@ class SegmentStore:
         )
         for s in touched:
             st = state.get(s)
+            # delta from max(manifest, on-disk units): after recover()
+            # they agree, but a merged unit whose manifest write lost a
+            # race must never be shadowed by a same-index delta (the
+            # live-unit rule would hide the appended rows forever)
+            next_delta = (
+                max(st["delta"], self._max_disk_unit(s)) + 1 if st else 0
+            )
             self._build_unit(
                 fresh.where(F.col("_shard") == s).drop("_shard"),
                 shard=s,
-                delta=(st["delta"] + 1) if st else 0,
+                delta=next_delta,
                 base_local_id=_align_block(st["next_id"]) if st else 0,
             )
 
@@ -391,8 +399,13 @@ class SegmentStore:
         ``merged_{delta+1:04d}`` (which supersedes every source unit),
         manifest appended, then sources deleted. A crash between rename
         and manifest append leaves the store loadable with stale
-        (over-counted) totals; re-running the expunge detects the
-        committed unit and finishes the manifest + cleanup.
+        (over-counted) totals; recovery does NOT depend on re-running
+        the expunge with the same drop set (post-crash the docs are
+        already physically gone, so a recomputed drop would be empty) —
+        :meth:`recover`, invoked from ``load``/``append``/``expunge``,
+        detects any on-disk ``merged_{d}`` with no manifest entry at
+        delta ``d`` and finishes the manifest + cleanup from the merged
+        unit itself.
         Pre-expunge snapshots are EXPIRED (``SnapshotExpiredError`` on
         ``load(as_of=...)``) — physical deletion rewrites history, the
         same contract as Iceberg ``expire_snapshots``.
@@ -409,35 +422,9 @@ class SegmentStore:
         new_delta = st["delta"] + 1
         merged_final = os.path.join(sdir, f"merged_{new_delta:04d}")
 
-        def _commit_manifest() -> None:
-            docs = self.spark.read.parquet(f"{merged_final}/docs")
-            row = docs.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sdl")
-            ).collect()[0]
-            n_post = self.spark.read.parquet(
-                f"{merged_final}/postings"
-            ).count()
-            self._append_manifest(
-                {
-                    "shard": shard,
-                    "delta": new_delta,
-                    "watermark_conv": st["watermark_conv"],
-                    "watermark_turn": st["watermark_turn"],
-                    "next_id": st["next_id"],
-                    "n_turns": int(row["n"]),
-                    "n_postings": int(n_post),
-                    "sum_doclen": int(row["sdl"] or 0),
-                    "expunged": True,
-                    "files": ["merged"],
-                }
-            )
-
         if os.path.isdir(merged_final):
             # committed by a crashed run: finish manifest + cleanup
-            _commit_manifest()
-            for n in self._live_shard_units(shard):
-                if n != f"merged_{new_delta:04d}":
-                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            self._finish_expunge_commit(shard, st, new_delta)
             return
 
         paths = [os.path.join(sdir, n) for n in units]
@@ -466,9 +453,82 @@ class SegmentStore:
         if self.blocks:
             self._write_blocks(tmp)
         os.rename(tmp, merged_final)  # commit point
-        _commit_manifest()
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+        self._finish_expunge_commit(shard, st, new_delta)
+
+    def _finish_expunge_commit(self, shard: int, st: dict, new_delta: int) -> None:
+        """Write the manifest reset entry for a committed (renamed)
+        expunge unit and delete everything it supersedes. Idempotent and
+        callable WITHOUT the original drop set — all totals are
+        recomputed from the merged unit itself, which is why
+        :meth:`recover` can finish a crashed expunge whose drop set is
+        no longer reconstructable."""
+        import shutil
+
+        sdir = os.path.join(self.path, f"shard={shard}")
+        merged_final = os.path.join(sdir, f"merged_{new_delta:04d}")
+        docs = self.spark.read.parquet(f"{merged_final}/docs")
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sdl")
+        ).collect()[0]
+        n_post = self.spark.read.parquet(f"{merged_final}/postings").count()
+        self._append_manifest(
+            {
+                "shard": shard,
+                "delta": new_delta,
+                "watermark_conv": st["watermark_conv"],
+                "watermark_turn": st["watermark_turn"],
+                "next_id": st["next_id"],
+                "n_turns": int(row["n"]),
+                "n_postings": int(n_post),
+                "sum_doclen": int(row["sdl"] or 0),
+                "expunged": True,
+                "files": ["merged"],
+            }
+        )
+        live = set(self._live_shard_units(shard))
+        for n in os.listdir(sdir):
+            stale = (
+                n.startswith(("delta_", "merged_")) and n not in live
+            ) or n in ("_expunge_tmp", "_merged_tmp")
+            if stale:
+                shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+
+    def _max_disk_unit(self, shard: int) -> int:
+        """Highest unit index present on disk for a shard (-1 if none) —
+        includes units whose manifest entry may be missing after a crash."""
+        sdir = os.path.join(self.path, f"shard={shard}")
+        if not os.path.isdir(sdir):
+            return -1
+        idx = [
+            self._unit_index(n)
+            for n in os.listdir(sdir)
+            if n.startswith(("delta_", "merged_"))
+        ]
+        return max(idx, default=-1)
+
+    def recover(self) -> None:
+        """Finish any expunge whose rename committed but whose manifest
+        reset entry was never written (crash in the window between the
+        two). Detection is purely structural — an on-disk ``merged_{d}``
+        with ``d`` above the shard's manifest delta can only be a
+        committed-but-unmanifested expunge (a plain merge reuses the
+        CURRENT delta index) — so recovery needs neither the original
+        drop set nor any re-run of the expunge. Cheap when clean: one
+        listdir per shard, no Spark jobs. Invoked automatically from
+        ``load``/``append``/``expunge``."""
+        state = self.shard_state()
+        for s in range(self.n_shards):
+            st = state.get(s)
+            if st is None:
+                continue
+            top = self._max_disk_unit(s)
+            if top <= st["delta"]:
+                continue
+            merged = os.path.join(
+                self.path, f"shard={s}", f"merged_{top:04d}"
+            )
+            if os.path.isdir(merged):
+                self._finish_expunge_commit(s, st, top)
 
     def expunge(self, drop: DataFrame) -> None:
         """Expunge tombstoned docints (``drop``: a docint column) from
@@ -483,6 +543,7 @@ class SegmentStore:
         file doubles as a durable record of the removal intent."""
         import shutil
 
+        self.recover()  # finish any crashed prior expunge first
         drop_dir = os.path.join(self.path, "_expunge_drop")
         drop.select("docint").write.mode("overwrite").parquet(drop_dir)
         drop = self.spark.read.parquet(drop_dir)
@@ -589,6 +650,7 @@ class SegmentStore:
         """Serving handle over the live store, or — with ``as_of`` — over
         the store as of an earlier :meth:`snapshot_id` (raises
         ``SnapshotExpiredError`` if compaction has rewritten it)."""
+        self.recover()
         man = self.manifest()
         if as_of is not None:
             man = man[: int(as_of)]

@@ -89,6 +89,95 @@ def test_append_after_expunge(spark, stores, tiny_turns):
     assert idx.docs.where(F.col("turn_idx") == 2).count() > 0  # new convs only
 
 
+def test_expunge_crash_between_rename_and_manifest_recovers(
+    spark, tiny_turns, tiny_pdf, tmp_path
+):
+    """Crash window: expunge renames the merged unit into place, then
+    dies before writing the manifest reset entry. The docs are already
+    physically gone, so a re-run of the expunge with a RECOMPUTED drop
+    set (tombstones over the post-crash store) is empty and routes to no
+    shard — recovery must not depend on it. ``recover()`` (auto-invoked
+    by load/append) finishes the manifest from the merged unit itself,
+    and ``append`` never reuses the merged unit's delta index."""
+    # one shard: the injected crash kills the whole expunge at the first
+    # shard's manifest write, which with one shard leaves the canonical
+    # crash state (merged committed everywhere, zero manifest entries)
+    store = SegmentStore(spark, str(tmp_path / "crash"), n_shards=1)
+    store.build(tiny_turns)
+    drop_keys = tiny_turns.where(F.col("turn_idx") == 2).select(
+        "conv_id", "turn_idx"
+    )
+    drop = tombstones_from_keys(store.load(), drop_keys)
+    kept_n = tiny_turns.where(F.col("turn_idx") != 2).count()
+
+    # inject the crash: die on the manifest append inside the expunge
+    orig_append_manifest = store._append_manifest
+
+    def boom(entry):
+        if entry.get("expunged"):
+            raise RuntimeError("injected crash after rename")
+        orig_append_manifest(entry)
+
+    store._append_manifest = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.expunge(drop)
+    store._append_manifest = orig_append_manifest
+
+    # post-crash, pre-recovery: manifest has NO reset entry (stale,
+    # over-counted totals) while the merged unit IS committed on disk
+    assert not any(e.get("expunged") for e in store.manifest())
+    assert store._max_disk_unit(0) == 1  # merged_0001 committed on disk
+
+    # load() auto-recovers: totals match the physical corpus (BM25
+    # avgdl/idf correct), not the stale pre-expunge counts — and the
+    # recomputed drop set is empty (docs already gone), proving the
+    # old "re-run the expunge" story could never have fixed this
+    idx = store.load()
+    assert tombstones_from_keys(idx, drop_keys).count() == 0
+    assert idx.n_docs == kept_n == idx.docs.count()
+    man = store.manifest()
+    assert any(e.get("expunged") for e in man)
+
+    # append after recovery: new rows get a fresh delta index and are
+    # visible to serving (no merged-unit shadowing)
+    from miru_spark.transcripts import generate_transcripts
+
+    extra = generate_transcripts(spark, n_convs=140, max_turns=16, seed=7)
+    extra_new = extra.join(
+        tiny_turns.select("conv_id").distinct(), "conv_id", "left_anti"
+    )
+    n_extra = extra_new.count()
+    assert n_extra > 0
+    # append the disjoint-convs set (all above the watermark), so the
+    # expected post-append count is exact
+    store.append(extra_new)
+    idx2 = store.load()
+    assert idx2.n_docs == kept_n + n_extra
+    assert idx2.docs.count() == kept_n + n_extra
+
+
+def test_expunge_crash_recovery_via_append_delta_guard(
+    spark, tiny_turns, tmp_path
+):
+    """Even if recovery were skipped, append derives its delta from
+    max(manifest, on-disk units)+1 so a committed-but-unmanifested
+    merged unit can never shadow an appended delta."""
+    store = SegmentStore(spark, str(tmp_path / "crash2"), n_shards=2)
+    store.build(tiny_turns)
+    st = store.shard_state()[0]
+    # fabricate the crash artifact: a merged unit one above the manifest
+    import shutil, os
+
+    sdir = f"{store.path}/shard=0"
+    src = os.path.join(sdir, "delta_0000")
+    fake = os.path.join(sdir, f"merged_{st['delta'] + 1:04d}")
+    shutil.copytree(src, fake)
+    assert store._max_disk_unit(0) == st["delta"] + 1
+    # the guard picks delta+2 for the next append on shard 0
+    next_delta = max(st["delta"], store._max_disk_unit(0)) + 1
+    assert next_delta == st["delta"] + 2
+
+
 def test_expunge_with_blocks_serves_block_paths(spark, tiny_turns):
     """Expunge on a blocks=True store rewrites block segments too; the
     block-max paths over the rewritten store stay rank-identical to the
