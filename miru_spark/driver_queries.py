@@ -3657,8 +3657,8 @@ contrib AS (
 sc AS (
   SELECT m.docint,
          COALESCE(ct.score, 0)
-         * power(0.5, date_diff('second', dl.ts,
-                                TIMESTAMP '2024-02-01 00:00:00') / 604800.0)
+         * power(0.5, greatest(date_diff('second', dl.ts,
+                                TIMESTAMP '2024-02-01 00:00:00'), 0) / 604800.0)
            AS score
   FROM m
   LEFT JOIN contrib ct USING (docint)
@@ -4450,8 +4450,10 @@ ORDER BY stage
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the event stream: users grouped by
     first-activity week, counted in each later week they return.
-    Week buckets are integer days-since-epoch-date // 7 (identical
-    arithmetic in both engines — no locale-dependent week truncation).
+    Week buckets are floor(days-since-epoch-date / 7) in BOTH engines —
+    the oracle uses an explicit floor() because DuckDB's ``//``
+    truncates toward zero, which diverges from floor for any event
+    before the 2024-01-01 epoch date (-3 // 7 = 0 vs floor = -1).
 
     Scale: one groupBy(user) for the cohort week, one distinct
     (user, week) projection, one broadcast-sized join back — shuffle
@@ -4486,7 +4488,7 @@ _register(
     """
 WITH ev AS (
   SELECT DISTINCT user_id,
-         (datediff('day', DATE '2024-01-01', ts::DATE) // 7)::INT AS week
+         CAST(floor(datediff('day', DATE '2024-01-01', ts::DATE) / 7.0) AS INT) AS week
   FROM events
 ),
 cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)

@@ -535,7 +535,12 @@ def search_dismax(
         index, parse_query(query) if isinstance(query, str) else query
     )
     f = _fusable(node)
-    if f is None:
+    # DisjunctionMax is inherently disjunctive: any doc matching >= 1
+    # clause is a candidate. Accepting a fused AND here would silently
+    # score it with OR match semantics, returning docs that do not
+    # satisfy the conjunction — reject it (single leaves fuse as 'and'
+    # and are fine: dismax of one clause is that clause).
+    if f is None or (f[0] == "and" and len(f[1]) > 1):
         raise ValueError("dismax needs a fusable OR text query")
     _, leaves = f
 

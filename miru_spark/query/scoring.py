@@ -47,8 +47,11 @@ def search_recency(
     ts_hi=None,
 ) -> DataFrame:
     """Top-k by ``bm25 · 2^(-age/half_life)`` where age =
-    ``ref_ts - doc.ts`` in seconds. ``ref_ts`` is an explicit caller
-    scalar (never wall-clock) so results are reproducible.
+    ``max(ref_ts - doc.ts, 0)`` in seconds. ``ref_ts`` is an explicit
+    caller scalar (never wall-clock) so results are reproducible. Age is
+    clamped at 0 so docs newer than ``ref_ts`` decay to exactly 1.0
+    rather than getting a >1 boost — Elasticsearch exp-decay semantics,
+    where the multiplier never exceeds 1 (decay is a distance function).
 
     Returns (conv_id, turn_idx, docint, score) ordered by
     (score desc, docint desc) — the engine's standard tie-break.
@@ -62,7 +65,10 @@ def search_recency(
             F.col("score")
             * F.pow(
                 F.lit(0.5),
-                (F.unix_timestamp(ref) - F.unix_timestamp(F.col("ts")))
+                F.greatest(
+                    F.unix_timestamp(ref) - F.unix_timestamp(F.col("ts")),
+                    F.lit(0),
+                )
                 / F.lit(float(half_life_s)),
             ),
         )

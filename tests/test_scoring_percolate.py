@@ -40,7 +40,7 @@ def test_recency_rank_identical(built, small_pdf):
     ref = pd.Timestamp(REF_TS)
     rows = []
     for r in base.itertuples():
-        age = (ref - ts_by_doc[r.docint]).total_seconds()
+        age = max((ref - ts_by_doc[r.docint]).total_seconds(), 0.0)
         rows.append((r.docint, r.score * 0.5 ** (age / HALF_LIFE)))
     rows.sort(key=lambda x: (-x[1], -x[0]))
     expect = rows[:15]
@@ -48,6 +48,36 @@ def test_recency_rank_identical(built, small_pdf):
     assert [r["docint"] for r in got] == [d for d, _ in expect]
     for r, (_, s) in zip(got, expect):
         assert abs(r["score"] - s) < 1e-6
+
+
+def test_recency_never_boosts_future_docs(built, small_pdf):
+    """A mid-stream ref_ts: docs newer than ref decay to EXACTLY 1.0
+    (clamped age), never a >1 boost — ES decay-function semantics."""
+    import pandas as pd
+
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.scoring import search_recency
+
+    idx, _ = built
+    mid = "2024-01-01 02:00:00"  # fixture ts span is 2024-01-01 00:00..05:33
+    base = {
+        r["docint"]: r["score"]
+        for r in search(idx, "w00001 OR w00040", k=10**6).collect()
+    }
+    got = search_recency(
+        idx, "w00001 OR w00040", ref_ts=mid, half_life_s=HALF_LIFE, k=10**6
+    ).collect()
+    ts_by_doc = {
+        r["docint"]: pd.Timestamp(r["ts"])
+        for r in idx.docs.select("docint", "ts").collect()
+    }
+    saw_future = False
+    for r in got:
+        assert r["score"] <= base[r["docint"]] + 1e-9  # never boosted
+        if ts_by_doc[r["docint"]] > pd.Timestamp(mid):
+            saw_future = True
+            assert abs(r["score"] - base[r["docint"]]) < 1e-9  # factor == 1
+    assert saw_future  # the mid-stream ref actually exercises the clamp
 
 
 def test_lm_dirichlet_rank_identical(built):
