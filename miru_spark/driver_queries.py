@@ -1052,12 +1052,16 @@ def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms whose recent-half count most exceeds their prior-half count
     over the transcripts corpus; deterministic tie-break by term."""
     idx = _index_for(spark, sf_dir)
-    # exact median; int() truncation matches the continuous-quantile
-    # comparison in the SQL twin (docint > x.5 ⇔ docint > floor(x.5))
-    mid = idx.docs.agg(F.expr("percentile(docint, 0.5)")).collect()[0][0]
-    joined = idx.postings.join(
-        idx.docs.select("docint"), "docint", "left_semi"
-    ).withColumn("recent", (F.col("docint") > F.lit(int(mid))).cast("int"))
+    # docints are dense 0..n-1 (prefix-sum assignment), so the median is
+    # the id-range midpoint: floor((min+max)/2) == floor(quantile(0.5)).
+    # min/max aggregate in constant state — Spark's exact percentile()
+    # would buffer every (unique-per-row) docint in one aggregation
+    # state, an executor-memory bomb at scale.
+    lo, hi = idx.docs.agg(F.min("docint"), F.max("docint")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    joined = idx.postings.withColumn(
+        "recent", (F.col("docint") > F.lit(mid)).cast("int")
+    )
     return (
         joined.groupBy("term")
         .agg(
@@ -1078,7 +1082,7 @@ _register(
     "trending_terms",
     _q_trending,
     f"""{SQL_PRELUDE},
-mid AS (SELECT floor(quantile_cont(docint, 0.5)) AS m FROM dl),
+mid AS (SELECT (MIN(docint) + MAX(docint)) // 2 AS m FROM dl),
 c AS (
   SELECT term,
          SUM(CASE WHEN docint > (SELECT m FROM mid) THEN 1 ELSE 0 END)::BIGINT AS n_recent,

@@ -70,11 +70,31 @@ def cosine_topk(
     )
 
 
+#: cosine_dup_pairs refuses corpora above this size unless the caller
+#: passes unsafe_exact=True — the all-pairs crossJoin is O(n²) and exists
+#: only as the exact correctness twin for cosine_dup_pairs_lsh.
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def cosine_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", unsafe_exact: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) for pairs with cosine ≥ threshold."""
+    """(id_a, id_b, cosine) for pairs with cosine ≥ threshold.
+
+    NOT scale-safe: O(n²) crossJoin. This is the exact twin that proves
+    ``cosine_dup_pairs_lsh``'s recall; use the LSH path on real corpora.
+    Raises ValueError above EXACT_PAIRS_MAX_ROWS rows unless
+    ``unsafe_exact=True``.
+    """
+    if not unsafe_exact:
+        n = emb.count()
+        if n > EXACT_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"cosine_dup_pairs is the O(n²) exact baseline; corpus has "
+                f"{n} rows > {EXACT_PAIRS_MAX_ROWS}. Use cosine_dup_pairs_lsh, "
+                f"or pass unsafe_exact=True if you really mean it."
+            )
     # norms computed ONCE per vector (bit-identical to per-pair
     # recomputation — same sqrt(Σx²) per side, just not repeated n times)
     a = emb.select(

@@ -179,6 +179,22 @@ def test_embedding_dedup_lsh_matches_exact(embeddings):
     assert len(exact) > 0
 
 
+def test_exact_dup_pairs_guard_trips(embeddings, monkeypatch):
+    """The O(n²) all-pairs baseline refuses corpora over the guard bound
+    unless unsafe_exact=True — nothing should be able to crossJoin a
+    real corpus by accident."""
+    import pytest
+
+    from miru_spark.operators import similarity
+    from miru_spark.operators.similarity import cosine_dup_pairs
+
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
+        cosine_dup_pairs(embeddings, threshold=0.4)
+    # the escape hatch still works
+    assert cosine_dup_pairs(embeddings, threshold=0.4, unsafe_exact=True).count() > 0
+
+
 def test_lsh_index_save_load_roundtrip(spark, embeddings, tmp_path):
     """Persisted ANN index: save/load preserves probe results, and the
     probe touches the assignments relation by key — never re-hashing
