@@ -150,7 +150,9 @@ def main() -> None:
                  "ft_explain", "text_length_histogram",
                  "streaming_waveform_counts", "ft_bm25_stream_ingest",
                  "streaming_unread_inbox", "ft_bm25_min_should_match",
-                 "ft_bm25_dismax", "funnel_events", "retention_cohorts"]:
+                 "ft_bm25_dismax", "funnel_events", "retention_cohorts",
+                 # round-3 additions
+                 "strut_scored_max", "strut_scored_regression"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -2561,6 +2561,95 @@ ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
 )
 
 
+def _q_strut_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strut MAX strategy (Strategy.java:6-10, Strut.java:386-393
+    finalizeScore): each candidate scores as its single strongest
+    model feature — same plan as strut_scored, max instead of sum."""
+    from miru_spark.operators.strut import catwalk_model, strut_score
+
+    idx = _index_for(spark, sf_dir)
+    answer = idx.postings.where(F.col("term") == "spark").select("docint").distinct()
+    model = catwalk_model(idx, answer, min_numerator=3)
+    cands = idx.postings.where(F.col("term") == "join").select("docint").distinct()
+    return strut_score(idx, cands, model, k=10, round_dp=4, strategy="max")
+
+
+_register(
+    "strut_scored_max",
+    _q_strut_max,
+    f"""{SQL_PRELUDE},
+ans AS (SELECT DISTINCT docint FROM post WHERE term = 'spark'),
+num AS (
+  SELECT term, COUNT(*) AS numerator FROM post
+  WHERE docint IN (SELECT docint FROM ans)
+  GROUP BY 1 HAVING COUNT(*) >= 3
+),
+model AS (
+  SELECT n.term, LEAST(n.numerator::DOUBLE / s.df, 1.0) AS weight
+  FROM num n JOIN stats s USING (term)
+),
+cand AS (SELECT DISTINCT docint FROM post WHERE term = 'join'),
+scored AS (
+  SELECT p.docint, MAX(m.weight) AS score
+  FROM post p JOIN model m USING (term)
+  WHERE p.docint IN (SELECT docint FROM cand)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
+FROM scored sc JOIN dl USING (docint)
+ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
+""",
+)
+
+
+def _q_strut_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strut REGRESSION_WEIGHTED strategy (Strategy.java:7 '0.5*A +
+    0.4*B + ...', Strut.java:378-385 + scaleScore:355-360): per-feature
+    request scalars multiply each feature score before the sum. Scalars
+    here are a deterministic per-term banding (0.5 short terms / 0.3
+    long) so the DuckDB twin can replay them exactly."""
+    from miru_spark.operators.strut import catwalk_model, strut_score
+
+    idx = _index_for(spark, sf_dir)
+    answer = idx.postings.where(F.col("term") == "spark").select("docint").distinct()
+    model = catwalk_model(idx, answer, min_numerator=3).withColumn(
+        "scalar", F.when(F.length("term") <= 4, F.lit(0.5)).otherwise(F.lit(0.3))
+    )
+    cands = idx.postings.where(F.col("term") == "join").select("docint").distinct()
+    return strut_score(
+        idx, cands, model, k=10, round_dp=4, strategy="regression_weighted"
+    )
+
+
+_register(
+    "strut_scored_regression",
+    _q_strut_regression,
+    f"""{SQL_PRELUDE},
+ans AS (SELECT DISTINCT docint FROM post WHERE term = 'spark'),
+num AS (
+  SELECT term, COUNT(*) AS numerator FROM post
+  WHERE docint IN (SELECT docint FROM ans)
+  GROUP BY 1 HAVING COUNT(*) >= 3
+),
+model AS (
+  SELECT n.term, LEAST(n.numerator::DOUBLE / s.df, 1.0) AS weight,
+         CASE WHEN length(n.term) <= 4 THEN 0.5 ELSE 0.3 END AS scalar
+  FROM num n JOIN stats s USING (term)
+),
+cand AS (SELECT DISTINCT docint FROM post WHERE term = 'join'),
+scored AS (
+  SELECT p.docint, SUM(m.weight * m.scalar) AS score
+  FROM post p JOIN model m USING (term)
+  WHERE p.docint IN (SELECT docint FROM cand)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, sc.docint, ROUND(sc.score, 4) AS score
+FROM scored sc JOIN dl USING (docint)
+ORDER BY ROUND(sc.score, 4) DESC, sc.docint DESC LIMIT 10
+""",
+)
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighter (LuceneBackedQueryParser.highlight:56-74): top-k BM25
     hits with a ±8-token window around the first matched token, matches

@@ -56,14 +56,33 @@ def catwalk_model(
     )
 
 
+#: Feature-fold strategies (Strategy.java:6-10, folded in
+#: Strut.java:368-400 finalizeScore):
+#:  - unit_weighted       Σ s[i]          (reference: Σ/|features|; the
+#:                        divisor is a per-model constant, so the sum
+#:                        form is rank-identical — we keep the sum)
+#:  - regression_weighted Σ s[i]·scalar[i] (per-feature scalars from the
+#:                        request — numeratorScalars via scaleScore)
+#:  - max                 max s[i]·scalar[i]
+STRATEGIES = ("unit_weighted", "regression_weighted", "max")
+
+
 def strut_score(
     index: InvertedIndex,
     candidate_docs: DataFrame,
     model: DataFrame,
     k: int = 10,
     round_dp: int | None = None,
+    strategy: str = "unit_weighted",
 ) -> DataFrame:
-    """Top-k candidates by summed model-feature weight (UNIT_WEIGHTED).
+    """Top-k candidates by folded model-feature weight.
+
+    ``strategy`` is one of STRATEGIES. For regression_weighted/max the
+    ``model`` may carry a per-term ``scalar`` column (the reference's
+    request-supplied numeratorScalars); absent, scalars default to 1.0.
+    Every strategy is a one-aggregate switch over the same
+    postings ⋈ broadcast(model) → groupBy(docint) plan, so the scale
+    properties are identical across strategies.
 
     Output: (conv_id, turn_idx, docint, score) in
     (score desc, docint desc) order — the engine's standard tiebreak.
@@ -72,11 +91,20 @@ def strut_score(
     float summation order would otherwise perturb the tiebreak
     (BM25-style continuous scores don't need this).
     """
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
+    cols = ["term", "weight"] + (["scalar"] if "scalar" in model.columns else [])
+    contrib = (
+        F.col("weight") * F.col("scalar")
+        if "scalar" in cols
+        else F.col("weight")
+    )
+    agg = (F.max if strategy == "max" else F.sum)(contrib).alias("score")
     scored = (
         index.postings.join(candidate_docs, "docint", "left_semi")
-        .join(F.broadcast(model.select("term", "weight")), "term")
+        .join(F.broadcast(model.select(*cols)), "term")
         .groupBy("docint")
-        .agg(F.sum("weight").alias("score"))
+        .agg(agg)
     )
     if round_dp is not None:
         scored = scored.withColumn("score", F.round("score", round_dp))

@@ -179,6 +179,18 @@ def test_embedding_dedup_lsh_matches_exact(embeddings):
     assert len(exact) > 0
 
 
+def test_strut_strategy_validated():
+    """strut_score rejects unknown fold strategies before any Spark work
+    (Strategy.java enum: UNIT_WEIGHTED / REGRESSION_WEIGHTED / MAX)."""
+    import pytest
+
+    from miru_spark.operators.strut import STRATEGIES, strut_score
+
+    assert set(STRATEGIES) == {"unit_weighted", "regression_weighted", "max"}
+    with pytest.raises(ValueError, match="strategy must be one of"):
+        strut_score(None, None, None, strategy="harmonic")
+
+
 def test_exact_dup_pairs_guard_trips(embeddings, monkeypatch):
     """The O(n²) all-pairs baseline refuses corpora over the guard bound
     unless unsafe_exact=True — nothing should be able to crossJoin a
