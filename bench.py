@@ -152,7 +152,8 @@ def main() -> None:
                  "streaming_unread_inbox", "ft_bm25_min_should_match",
                  "ft_bm25_dismax", "funnel_events", "retention_cohorts",
                  # round-3 additions
-                 "strut_scored_max", "strut_scored_regression"]:
+                 "strut_scored_max", "strut_scored_regression",
+                 "ft_bm25_repair"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

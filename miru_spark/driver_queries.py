@@ -3910,6 +3910,88 @@ ORDER BY ct.score DESC LIMIT 10
 )
 
 
+# -- versioned repair (upsert) over the store (incremental.py repair) --------
+
+
+def _q_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the SegmentStore AFTER a versioned REPAIR
+    (MiruIndexer.java:128-162: a re-sent doc with a higher version
+    replaces the stored one; stale versions are discarded). The Spark
+    side applies a real repair batch (corrected text, ts+1 day) AND a
+    stale batch (older ts) that must be a no-op; the oracle replays the
+    upsert by rebuilding BM25 over the post-repair corpus. A pass proves
+    version arbitration, physical replacement (df/cf/avgdl reflect the
+    new text), and stale-discard, end-to-end through the store."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+
+    key = f"{id(spark)}:{sf_dir}:repair"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark, tempfile.mkdtemp(prefix="miru_repair_"), n_shards=2
+        )
+        store.build(turns)
+        pred = (F.col("turn_idx") == 1) & (F.col("conv_id") < "conv00000030")
+        fresh = (
+            turns.where(pred)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" sparkle merge merge")))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        store.repair(fresh)
+        stale = (
+            turns.where(pred)
+            .withColumn("text", F.lit("poison poison poison"))
+            .withColumn("ts", F.col("ts") - F.expr("INTERVAL 1 DAY"))
+        )
+        store.repair(stale)  # older version: must be discarded
+        idx = store.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "merge AND window", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_REPAIRED_TRANSCRIPTS = f"""
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx = 1 AND conv_id < 'conv00000030'
+            THEN text || ' sparkle merge merge' ELSE text END AS text,
+       tool,
+       CASE WHEN turn_idx = 1 AND conv_id < 'conv00000030'
+            THEN ts + INTERVAL 1 DAY ELSE ts END AS ts,
+       authz
+FROM ({DUCKDB_TRANSCRIPTS})
+"""
+
+_register(
+    "ft_bm25_repair",
+    _q_repair,
+    f"""{SQL_PRELUDE.replace(DUCKDB_TRANSCRIPTS, _REPAIRED_TRANSCRIPTS)},
+m AS (
+  SELECT docint FROM post WHERE term IN ('merge','window')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('merge','window') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
+
+
 # -- snapshot time-travel over the store manifest (incremental.py) -----------
 
 

@@ -202,9 +202,17 @@ class SegmentStore:
                 )
                 .drop("_wc", "_wt")
             )
+        self._append_raw(fresh)
+
+    def _append_raw(self, with_shard: DataFrame) -> None:
+        """Index ``with_shard`` rows (a ``_shard`` column routes them) as
+        one new delta unit per touched shard. NO watermark filter — the
+        caller arbitrates freshness (``append`` filters by watermark,
+        ``repair`` by version)."""
+        state = self.shard_state()
         touched = sorted(
             r["_shard"]
-            for r in fresh.groupBy("_shard").count().collect()
+            for r in with_shard.groupBy("_shard").count().collect()
             if r["count"] > 0
         )
         for s in touched:
@@ -217,17 +225,80 @@ class SegmentStore:
                 max(st["delta"], self._max_disk_unit(s)) + 1 if st else 0
             )
             self._build_unit(
-                fresh.where(F.col("_shard") == s).drop("_shard"),
+                with_shard.where(F.col("_shard") == s).drop("_shard"),
                 shard=s,
                 delta=next_delta,
                 base_local_id=_align_block(st["next_id"]) if st else 0,
+                prev_watermark=(
+                    (st["watermark_conv"], st["watermark_turn"]) if st else None
+                ),
             )
+
+    def repair(self, repairs: DataFrame, version_col: str = "ts") -> None:
+        """Versioned upsert — the reference's REPAIR path
+        (``MiruIndexer.java:128-162``: an incoming activity whose version
+        exceeds the stored one removes the old doc and indexes the new;
+        stale versions are discarded).
+
+        ``repairs`` has the transcript schema. Per (conv_id, turn_idx):
+
+        - stored version <= repair version → the old doc is physically
+          expunged and the new one indexed as a fresh delta unit (ties
+          go to the repair batch, matching ``apply_repairs``);
+        - stored version >  repair version → the repair is discarded;
+        - no stored doc → plain insert.
+
+        The accepted batch is materialized under the store BEFORE the
+        expunge (its lineage reads the very units expunge rewrites, and
+        the parquet doubles as the durable repair record): a crash
+        between expunge and re-index is recovered by re-running the same
+        repair batch — post-crash the old docs are gone, so arbitration
+        re-admits every accepted row as a plain insert.
+
+        Index-only arbitration: one left join of the batch against the
+        store's docs relation — never a corpus scan. Repaired docs get
+        NEW docints (ids are never reassigned); global stats reflect the
+        post-repair corpus exactly because the old version is expunged,
+        not masked.
+        """
+        import shutil
+
+        self.recover()
+        existing = (
+            self.load()
+            .docs.select(
+                "docint", "conv_id", "turn_idx", F.col(version_col).alias("_v_old")
+            )
+        )
+        j = repairs.withColumn("_v_new", F.col(version_col)).join(
+            existing, ["conv_id", "turn_idx"], "left"
+        )
+        accepted = j.where(
+            F.col("_v_old").isNull() | (F.col("_v_old") <= F.col("_v_new"))
+        )
+        batch_dir = os.path.join(self.path, "_repair_batch")
+        accepted.write.mode("overwrite").parquet(batch_dir)
+        accepted = self.spark.read.parquet(batch_dir)
+        drop = accepted.where(F.col("docint").isNotNull()).select("docint")
+        if drop.limit(1).count() > 0:
+            self.expunge(drop)
+        self._append_raw(
+            accepted.drop("docint", "_v_old", "_v_new").withColumn(
+                "_shard", shard_col(self.n_shards)
+            )
+        )
+        shutil.rmtree(batch_dir, ignore_errors=True)
 
     def _unit_dir(self, shard: int, delta: int) -> str:
         return os.path.join(self.path, f"shard={shard}", f"delta_{delta:04d}")
 
     def _build_unit(
-        self, rows: DataFrame, shard: int, delta: int, base_local_id: int
+        self,
+        rows: DataFrame,
+        shard: int,
+        delta: int,
+        base_local_id: int,
+        prev_watermark: tuple | None = None,
     ) -> None:
         t0 = time.time()
         out = self._unit_dir(shard, delta)
@@ -277,6 +348,16 @@ class SegmentStore:
             if wc is not None
             else None
         )
+        # watermarks are monotonic per shard: a repair unit re-indexes
+        # keys BELOW the shard's cursor, and letting its (lower) max key
+        # become the watermark would re-admit already-indexed rows on
+        # the next append — carry the previous watermark forward if it
+        # is higher.
+        if prev_watermark is not None and prev_watermark[0] is not None:
+            pwc, pwt = prev_watermark
+            cur = (wc, int(wt)) if wc is not None else None
+            if cur is None or (pwc, int(pwt or 0)) > cur:
+                wc, wt = pwc, pwt
         n_post = written.count()
         files = sorted(
             fn for fn in os.listdir(out) if not fn.startswith(".")

@@ -192,3 +192,64 @@ def test_snapshot_as_of(spark, tiny_turns, tiny_pdf, tmp_path):
 
     with _pytest.raises(SnapshotExpiredError):
         store.load(as_of=snap1).docs.count()
+
+
+def test_repair_versioned_upsert(spark, tiny_turns, tiny_pdf, tmp_path):
+    """REPAIR (MiruIndexer.java:128-162): higher-version re-send replaces
+    the stored doc (new text searchable, old text gone, stats exact);
+    stale versions are discarded; a later append after a repair does not
+    re-admit already-indexed rows (watermark stays monotonic)."""
+    import pyspark.sql.functions as F
+
+    store = _store(spark, tmp_path / "seg")
+    prefix = tiny_turns.where(F.col("conv_id") < "conv00000030")
+    store.build(prefix)
+    n0 = store.load().n_docs
+
+    pred = (F.col("conv_id") == "conv00000003") & (F.col("turn_idx") == 1)
+    fresh = (
+        tiny_turns.where(pred)
+        .withColumn("text", F.lit("zzrepaired token alpha alpha"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    store.repair(fresh)
+    idx = store.load()
+    assert idx.n_docs == n0  # replace, not add
+    hits = search(idx, "zzrepaired", k=5).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in hits] == [("conv00000003", 1)]
+    # the old version is physically gone: its terms no longer hit the doc
+    old_text = {
+        (r.conv_id, r.turn_idx)
+        for r in search(idx, "alpha", k=100).toPandas().itertuples()
+    }
+    assert ("conv00000003", 1) in old_text  # repaired text has alpha twice
+
+    # stale (older ts) repair is discarded
+    stale = (
+        tiny_turns.where(pred)
+        .withColumn("text", F.lit("poisonmarker"))
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 DAY"))
+    )
+    store.repair(stale)
+    idx = store.load()
+    assert search(idx, "poisonmarker", k=5).count() == 0
+    assert search(idx, "zzrepaired", k=5).count() == 1
+
+    # append after repair: watermark must not have regressed
+    store.append(tiny_turns)
+    idx = store.load()
+    total = tiny_turns.count()
+    assert idx.n_docs == total  # no duplicates, no losses
+    dup = (
+        idx.docs.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+    # brand-new key via repair == plain insert
+    ins = (
+        tiny_turns.limit(1)
+        .withColumn("conv_id", F.lit("conv99999999"))
+        .withColumn("text", F.lit("freshinsert"))
+    )
+    store.repair(ins)
+    assert search(store.load(), "freshinsert", k=5).count() == 1
