@@ -4476,6 +4476,65 @@ GROUP BY 1, 2, 3, 5
 )
 
 
+def _q_delivery_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime push delivery (streaming/delivery.py — the reference's
+    RoutingBirdRealtimeDelivery: ingested activities matched against
+    registered endpoints with a staleness cutoff) under a hard oracle:
+    the corpus is drained through deliver_stream in ONE availableNow
+    batch (single input file ⇒ the per-batch staleness cutoff equals the
+    global max(ts) − interval, which pure SQL can replay), and the
+    per-subscription delivery log is compared to the same predicates as
+    WHERE clauses. Covers token-AND, field+token, and OR subscriptions
+    plus the dropRealtimeDeliveryOlderThanNMillis cutoff."""
+    import shutil
+    import tempfile
+
+    from miru_spark.streaming.delivery import deliver_stream
+
+    subs = [
+        ("s_sparkjoin", "spark AND join"),
+        ("s_asst_merge", "role:assistant AND merge"),
+        ("s_winpart", "window OR part"),
+    ]
+    root = tempfile.mkdtemp(prefix="miru_delivery_")
+    try:
+        src, out_dir, ckpt = f"{root}/in", f"{root}/log", f"{root}/ckpt"
+        transcripts_from_documents(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        q = deliver_stream(
+            spark, src, subs, out_dir, ckpt, drop_older_than="48 HOURS"
+        )
+        assert q.awaitTermination(300), "stream did not terminate"
+        out = spark.read.parquet(out_dir).select(
+            "sub_id", "conv_id", "turn_idx", "ts"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_register(
+    "delivery_log",
+    _q_delivery_log,
+    f"""
+WITH t AS ({DUCKDB_TRANSCRIPTS}),
+b AS (
+  SELECT *, {_TOK} AS toks FROM t
+  WHERE ts >= (SELECT MAX(ts) - INTERVAL 48 HOUR FROM t)
+)
+SELECT 's_sparkjoin' AS sub_id, conv_id, turn_idx, ts FROM b
+ WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+UNION ALL
+SELECT 's_asst_merge' AS sub_id, conv_id, turn_idx, ts FROM b
+ WHERE role = 'assistant' AND list_contains(toks, 'merge')
+UNION ALL
+SELECT 's_winpart' AS sub_id, conv_id, turn_idx, ts FROM b
+ WHERE list_contains(toks, 'window') OR list_contains(toks, 'part')
+""",
+)
+
+
 def _q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minimum_should_match: top-10 docs matching >= 2 of 4 OR'd terms
     (query/bm25.py search_min_should_match — Lucene
