@@ -7,11 +7,14 @@ bitmaps updated by ACTIVITY / READ / UNREAD / MARK_ALL_READ event types
 everything up to a position, MARK_ALL_READ clears.
 
 Spark-native: ``applyInPandasWithState`` keyed by (user_id, stream_id).
-State = (delivered msg ids, last_read watermark) — the unread set is
-"ids > nothing-read-yet minus masked" exactly like the reference's
-bitmap andNot. Here state stores the id list (fine for inbox-sized
-groups; the at-scale variant swaps in a compressed id-set — the same
-upgrade path as the reference's Roaring bitmaps).
+State is COMPACT — (n_msgs counter, last_read watermark, max delivered
+id, pending ids above the watermark) — O(unread), never O(history): a
+hot key (bot inbox) that keeps reading what it receives holds near-zero
+state forever, the same property the reference gets from masking a
+Roaring bitmap with the read watermark (``MiruUnreadTrackingIndex``
+applyRead). Delivered ids at or below ``last_read`` are counted and
+dropped; ids above it are the unread set, pruned every time the
+watermark rises.
 
 Event rows: (stream_id string, user_id long, kind 'msg'|'read'|
 'mark_all_read', msg_id long, ts timestamp).
@@ -26,7 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, stream_id string, n_msgs int, unread int, last_read long"
-STATE_SCHEMA = "msg_ids array<long>, last_read long"
+STATE_SCHEMA = (
+    "n_msgs int, last_read long, max_seen long, pending array<long>"
+)
 
 
 def _update(
@@ -36,30 +41,35 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     user_id, stream_id = key
     if state.exists:
-        msg_ids, last_read = state.get
-        msg_ids = list(msg_ids)
+        n_msgs, last_read, max_seen, pending = state.get
+        pending = list(pending)
     else:
-        msg_ids, last_read = [], -1
+        n_msgs, last_read, max_seen, pending = 0, -1, -1, []
 
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "msg_id"])
         for kind, msg_id in zip(pdf["kind"], pdf["msg_id"]):
             if kind == "msg":
-                msg_ids.append(int(msg_id))
+                m = int(msg_id)
+                n_msgs += 1
+                max_seen = max(max_seen, m)
+                if m > last_read:  # at-or-below-watermark arrivals are read
+                    pending.append(m)
             elif kind == "read":
                 last_read = max(last_read, int(msg_id))
             elif kind == "mark_all_read":
-                if msg_ids:
-                    last_read = max([last_read] + msg_ids)
+                # reference semantics: clears everything DELIVERED so far
+                last_read = max(last_read, max_seen)
 
-    state.update((msg_ids, last_read))
-    unread = sum(1 for m in msg_ids if m > last_read)
+    # prune to the unread set — this is the state-size bound
+    pending = [m for m in pending if m > last_read]
+    state.update((n_msgs, last_read, max_seen, pending))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "stream_id": [stream_id],
-            "n_msgs": [len(msg_ids)],
-            "unread": [unread],
+            "n_msgs": [n_msgs],
+            "unread": [len(pending)],
             "last_read": [last_read],
         }
     )

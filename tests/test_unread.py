@@ -61,3 +61,44 @@ def test_unread_lifecycle(spark, tmp_path):
     out2 = _run(spark, src, ckpt, "unread2")
     assert out2[(1, "s1")] == (3, 0, 12)  # all read now
     assert out2[(1, "s2")] == (2, 2, -1)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive _update directly."""
+
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+
+def test_hot_key_state_stays_bounded():
+    """A hot inbox (bot) that reads as it receives holds O(unread) state
+    — the pending list never accumulates history (10k msgs, watermark
+    chasing 50 behind → state carries <= 50 ids, not 10k)."""
+    import pandas as pd
+
+    from miru_spark.streaming.unread import _update
+
+    st = _FakeState()
+    n = 10_000
+    for lo in range(0, n, 1_000):  # 10 micro-batches
+        rows = []
+        for m in range(lo, lo + 1_000):
+            rows.append(("msg", m, m))
+            if m % 10 == 0:  # reader trails 50 ids behind
+                rows.append(("read", max(m - 50, -1), m))
+        pdf = pd.DataFrame(rows, columns=["kind", "msg_id", "ts"])
+        out = list(_update((7, "hot"), iter([pdf]), st))[0]
+    n_msgs, last_read, max_seen, pending = st.get
+    assert n_msgs == n and max_seen == n - 1
+    assert last_read == n - 10 - 50  # last read event: m=9990 → 9940
+    assert len(pending) == (n - 1) - last_read  # O(unread), not O(history)
+    assert len(pending) < 100
+    assert int(out["unread"].iloc[0]) == len(pending)
+    assert int(out["n_msgs"].iloc[0]) == n
