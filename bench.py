@@ -153,7 +153,8 @@ def main() -> None:
                  "ft_bm25_dismax", "funnel_events", "retention_cohorts",
                  # round-3 additions
                  "strut_scored_max", "strut_scored_regression",
-                 "ft_bm25_repair", "delivery_log"]:
+                 "ft_bm25_repair", "delivery_log",
+                 "analyze_locale_stop"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

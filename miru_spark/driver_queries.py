@@ -2342,15 +2342,21 @@ FROM documents
 
 def _q_analyze_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-locale analysis (TermAnalyzers.java:45-133): each document
-    is analyzed by the analyzer its ``lang`` maps to (en → minimal
-    plural stemmer, zh/ja/ko → CJK bigrams, else standard) and reports
-    token/term counts. The en rows are the hard stemmer signal: their
-    n_terms differ from standard whenever plural forms conflate."""
-    from miru_spark.analyzers import analyze_col
+    is analyzed by the analyzer its ``lang`` maps to via
+    analyzer_for_locale (en → minimal plural stemmer, fr/de/es →
+    per-language minimal suffix stemmers over the accent-aware latin
+    tokenizer, zh/ja/ko → CJK bigrams, else standard) and reports
+    token/term counts. The stemmed rows are the hard signal: their
+    n_terms differ from standard whenever inflected forms conflate."""
+    from miru_spark.analyzers import analyze_col, analyzer_for_locale
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert analyzer_for_locale("fr") == "fr"  # registry drives the routing
     toks = (
         F.when(F.col("lang") == "en", analyze_col(F.col("text"), "en"))
+        .when(F.col("lang") == "fr", analyze_col(F.col("text"), "fr"))
+        .when(F.col("lang") == "de", analyze_col(F.col("text"), "de"))
+        .when(F.col("lang") == "es", analyze_col(F.col("text"), "es"))
         .when(
             F.col("lang").isin("zh", "ja", "ko"),
             analyze_col(F.col("text"), "cjk"),
@@ -2371,7 +2377,10 @@ def _q_analyze_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _analyze_locale_sql() -> str:
     from miru_spark.analyzers import duckdb_analyze
 
-    en = duckdb_analyze("text", "en")
+    cases = "\n              ".join(
+        f"WHEN lang = '{lang}' THEN {duckdb_analyze('text', lang)}"
+        for lang in ("en", "fr", "de", "es")
+    )
     cjk = duckdb_analyze("text", "cjk")
     std = duckdb_analyze("text", "standard")
     return f"""
@@ -2380,7 +2389,7 @@ SELECT doc_id AS id, lang,
        len(list_distinct(t)) AS n_terms
 FROM (
   SELECT doc_id, lang,
-         CASE WHEN lang = 'en' THEN {en}
+         CASE {cases}
               WHEN lang IN ('zh','ja','ko') THEN {cjk}
               ELSE {std} END AS t
   FROM documents
@@ -2389,6 +2398,75 @@ FROM (
 
 
 _register("analyze_locale", _q_analyze_locale, _analyze_locale_sql())
+
+
+def _q_analyze_locale_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopworded per-locale analysis — the reference's
+    findAnalyzer(locale, useStopWords=true) path (TermAnalyzers.java:
+    50-56): same routing as analyze_locale but each stemmed analyzer
+    filters its post-stem locale stopword set; n_tokens shrinks by
+    exactly the per-doc stopword hits, proving the filtered chain."""
+    from miru_spark.analyzers import analyze_col, analyzer_for_locale
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        F.when(
+            F.col("lang") == "en",
+            analyze_col(F.col("text"), analyzer_for_locale("en", use_stopwords=True)),
+        )
+        .when(
+            F.col("lang") == "fr",
+            analyze_col(F.col("text"), analyzer_for_locale("fr", use_stopwords=True)),
+        )
+        .when(
+            F.col("lang") == "de",
+            analyze_col(F.col("text"), analyzer_for_locale("de", use_stopwords=True)),
+        )
+        .when(
+            F.col("lang") == "es",
+            analyze_col(F.col("text"), analyzer_for_locale("es", use_stopwords=True)),
+        )
+        .when(
+            F.col("lang").isin("zh", "ja", "ko"),
+            analyze_col(F.col("text"), "cjk"),
+        )
+        .otherwise(analyze_col(F.col("text"), "standard"))
+    )
+    wrapped = d.select("doc_id", "lang", F.struct(toks.alias("t")).alias("_s"))
+    return wrapped.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("lang"),
+        F.size("_s.t").alias("n_tokens"),
+        F.size(F.array_distinct("_s.t")).alias("n_terms"),
+    )
+
+
+def _analyze_locale_stop_sql() -> str:
+    from miru_spark.analyzers import duckdb_analyze
+
+    cases = "\n              ".join(
+        f"WHEN lang = '{lang}' THEN {duckdb_analyze('text', lang + '_stop')}"
+        for lang in ("en", "fr", "de", "es")
+    )
+    cjk = duckdb_analyze("text", "cjk")
+    std = duckdb_analyze("text", "standard")
+    return f"""
+SELECT doc_id AS id, lang,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_terms
+FROM (
+  SELECT doc_id, lang,
+         CASE {cases}
+              WHEN lang IN ('zh','ja','ko') THEN {cjk}
+              ELSE {std} END AS t
+  FROM documents
+)
+"""
+
+
+_register(
+    "analyze_locale_stop", _q_analyze_locale_stop, _analyze_locale_stop_sql()
+)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

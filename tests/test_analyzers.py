@@ -26,9 +26,20 @@ CASES = [
     "it's users' 99s miss mass kiss",
     "日本語のテキスト解析",
     "한국어 형태소 분석기",
+    # accented latin across the European analyzers
+    "Les Tables données Élèves dans les maisons aux prix",
+    "Die Häuser sind GRÖSSER und grün, ohne Dächer",
+    "las casas unos niños grandes señores",
+    "le case sono belle e questo libro è còrso",
+    "as casas não são uns meses alugadas",
+    "straße STRASSE façade Ça",
 ]
 
-ANALYZERS = ["standard", "whitespace", "en", "cjk", "en_stop"]
+ANALYZERS = [
+    "standard", "whitespace", "en", "cjk",
+    "fr", "de", "es", "it", "pt",
+    "en_stop", "fr_stop", "de_stop", "es_stop", "it_stop", "pt_stop",
+]
 
 
 @pytest.mark.parametrize("analyzer", ANALYZERS)
@@ -88,9 +99,67 @@ def test_locale_registry():
     assert analyzer_for_locale("en") == "en"
     for loc in ("zh", "ja", "ko"):
         assert analyzer_for_locale(loc) == "cjk"
-    assert analyzer_for_locale("de") == "standard"
+    for loc in ("fr", "de", "es", "it", "pt"):
+        assert analyzer_for_locale(loc) == loc
+    assert analyzer_for_locale("ru") == "standard"  # unregistered locale
     assert analyzer_for_locale(None) == "standard"
     assert set(LOCALE_ANALYZERS.values()) <= set(ANALYZERS)
+
+
+def test_locale_fallback_walks_prefixes():
+    """TermAnalyzers.findAnalyzer:121-133: full code first, then the
+    prefix before the first '_' — pt_BR → pt, en-IE → en."""
+    assert analyzer_for_locale("pt_BR") == "pt"
+    assert analyzer_for_locale("pt-br") == "pt"
+    assert analyzer_for_locale("en_IE") == "en"
+    assert analyzer_for_locale("en_US_posix") == "en"
+    assert analyzer_for_locale("xx_YY") == "standard"
+
+
+def test_use_stopwords_toggle():
+    """The reference's findAnalyzer(locale, useStopWords) flag."""
+    assert analyzer_for_locale("fr", use_stopwords=True) == "fr_stop"
+    assert analyzer_for_locale("pt_BR", use_stopwords=True) == "pt_stop"
+    # cjk/standard have no stopword set: flag is a no-op
+    assert analyzer_for_locale("zh", use_stopwords=True) == "cjk"
+    assert analyzer_for_locale("ru", use_stopwords=True) == "standard"
+
+
+def test_european_minimal_stems():
+    """One spot rule per language (single-pass shortest-suffix strip)."""
+    # fr: -s/-x off len>=4 stems, s/u/i/x-protected
+    assert analyze_py("tables dans aux maisons prix", "fr") == [
+        "table", "dan", "aux", "maison", "prix",
+    ]
+    # de: strips the shortest set-suffix the word ends with ('häuser'
+    # ends 'r'∉set, then 'er'∈set → 'häus'); accents survive tokenization
+    # ('grün'→'grü' is Lucene GermanMinimalStemFilter behavior too: its
+    # len>3 tier strips final e/n/s)
+    assert analyze_py("Häuser haben eine ohne grün", "de") == [
+        "häus", "habe", "ein", "ohn", "grü",
+    ]
+    # es: plural -s (shortest suffix wins over -es)
+    assert analyze_py("casas niños grandes señores", "es") == [
+        "casa", "niño", "grande", "señore",
+    ]
+    # it: final-vowel strip, len>=4
+    assert analyze_py("case sono belle questo", "it") == [
+        "cas", "son", "bell", "quest",
+    ]
+    # pt: plural strip, accents preserved ('não' too short to stem)
+    assert analyze_py("casas não meses alugadas", "pt") == [
+        "casa", "não", "mese", "alugada",
+    ]
+
+
+def test_locale_stopword_sets_post_stem():
+    """Stopword filtering runs after stemming, so the sets hold
+    post-stem forms ('dans'→'dan', 'eine'→'ein', 'sono'→'son')."""
+    assert analyze_py("dans les maisons", "fr_stop") == ["maison"]
+    assert analyze_py("eine ohne Häuser", "de_stop") == ["häus"]
+    assert analyze_py("las casas unos", "es_stop") == ["casa"]
+    assert analyze_py("sono le case", "it_stop") == ["cas"]
+    assert analyze_py("as casas não são", "pt_stop") == ["casa", "são"]
 
 
 def test_analyze_series_matches_py():
