@@ -64,6 +64,32 @@ class SnapshotExpiredError(RuntimeError):
     (the Iceberg expire_snapshots contract)."""
 
 
+class SchemaNotAdditiveError(ValueError):
+    """An appended batch's schema drops or retypes a stored column."""
+
+
+def check_additive(old, new) -> None:
+    """Validate that ``new`` (StructType) is an ADDITIVE evolution of
+    ``old``: every stored field must still exist with the identical
+    type; brand-new fields are allowed (they read back as NULL for old
+    units via the mergeSchema docs read). The reference gates delta
+    schemas the same way before accepting them
+    (``MiruSchema.checkAdditive``, MiruSchema.java:303-314)."""
+    newf = {f.name: f for f in new.fields}
+    missing = [f.name for f in old.fields if f.name not in newf]
+    changed = [
+        f"{f.name}: {f.dataType.simpleString()} -> "
+        f"{newf[f.name].dataType.simpleString()}"
+        for f in old.fields
+        if f.name in newf and newf[f.name].dataType != f.dataType
+    ]
+    if missing or changed:
+        raise SchemaNotAdditiveError(
+            f"batch schema is not additive w.r.t. the store: "
+            f"missing columns {missing}, retyped {changed}"
+        )
+
+
 def _align_block(local_id: int) -> int:
     """Round a writer cursor up to the next block boundary so a
     (term, block_id) group never spans two segment units — the property
@@ -176,6 +202,7 @@ class SegmentStore:
         rows — an empty append costs one Spark job total, not one
         ``limit(1).count()`` probe per shard."""
         self.recover()
+        self._check_batch_schema(new_turns)
         state = self.shard_state()
         with_shard = new_turns.withColumn("_shard", shard_col(self.n_shards))
         wm_rows = [
@@ -203,6 +230,22 @@ class SegmentStore:
                 .drop("_wc", "_wt")
             )
         self._append_raw(fresh)
+
+    def _check_batch_schema(self, batch: DataFrame) -> None:
+        """Gate an incoming batch on additive schema evolution
+        (MiruSchema.checkAdditive parity): compare against ONE live
+        unit's docs schema (a parquet-footer read, no Spark job), minus
+        the engine-derived columns."""
+        units = self.live_units()
+        if not units:
+            return
+        from pyspark.sql.types import StructType
+
+        stored = self.spark.read.parquet(f"{units[0]}/docs").schema
+        old = StructType(
+            [f for f in stored.fields if f.name not in ("docint", "doclen")]
+        )
+        check_additive(old, batch.schema)
 
     def _append_raw(self, with_shard: DataFrame) -> None:
         """Index ``with_shard`` rows (a ``_shard`` column routes them) as
@@ -264,6 +307,7 @@ class SegmentStore:
         import shutil
 
         self.recover()
+        self._check_batch_schema(repairs)
         existing = (
             self.load()
             .docs.select(
@@ -741,7 +785,13 @@ class SegmentStore:
         if not units:
             raise RuntimeError("no segments built")
         post = self.spark.read.parquet(*[f"{u}/postings" for u in units])
-        docs = self.spark.read.parquet(*[f"{u}/docs" for u in units])
+        # mergeSchema: units written after an ADDITIVE schema evolution
+        # (check_additive) may carry extra metadata columns — old units'
+        # rows read them back as NULL (postings/terms schemas are
+        # engine-fixed, no merge needed there)
+        docs = self.spark.read.option("mergeSchema", "true").parquet(
+            *[f"{u}/docs" for u in units]
+        )
         # global stats: re-aggregate per-unit term stats (cheap — they
         # are already per-term partial aggregates)
         terms = (

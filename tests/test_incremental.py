@@ -253,3 +253,35 @@ def test_repair_versioned_upsert(spark, tiny_turns, tiny_pdf, tmp_path):
     )
     store.repair(ins)
     assert search(store.load(), "freshinsert", k=5).count() == 1
+
+
+def test_append_schema_additive_gate(spark, tiny_turns, tmp_path):
+    """MiruSchema.checkAdditive parity: an append may ADD columns (old
+    units read them as NULL) but dropping or retyping a stored column
+    is rejected before any unit is written."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from miru_spark.indexing.incremental import SchemaNotAdditiveError
+
+    store = _store(spark, tmp_path / "seg")
+    store.build(tiny_turns.where(F.col("conv_id") < "conv00000050"))
+
+    # additive: a new metadata column is accepted and survives load()
+    extra = tiny_turns.where(F.col("conv_id") >= "conv00000050").withColumn(
+        "source_tag", F.lit("batch2")
+    )
+    store.append(extra)
+    docs = store.load().docs
+    assert "source_tag" in docs.columns
+    tags = {r["source_tag"] for r in docs.select("source_tag").distinct().collect()}
+    assert tags == {None, "batch2"}  # old units read the new column as NULL
+
+    # dropped column → rejected, nothing written
+    n_units = len(store.manifest())
+    with _pytest.raises(SchemaNotAdditiveError, match="missing columns \\['ts'\\]"):
+        store.append(tiny_turns.drop("ts"))
+    # retyped column → rejected
+    with _pytest.raises(SchemaNotAdditiveError, match="retyped"):
+        store.append(tiny_turns.withColumn("turn_idx", F.col("turn_idx").cast("long")))
+    assert len(store.manifest()) == n_units
