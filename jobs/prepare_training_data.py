@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--quality-min", type=float, default=0.47)
     ap.add_argument("--rep-max", type=float, default=0.5)
     ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--near-k", type=int, default=5,
+                    help="near-dup shingle size (5 for real corpora; the "
+                         "small-scale oracle twin uses 3)")
     ap.add_argument("--salt", default="v1")
     ap.add_argument("--bench", default=None,
                     help="eval-set parquet; survivors sharing an n-gram "
@@ -48,6 +51,7 @@ def main() -> None:
         quality_min=args.quality_min,
         rep_max=args.rep_max,
         jaccard=args.jaccard,
+        near_k=args.near_k,
         bench=bench,
         contam_ngram=args.contam_ngram,
         salt=args.salt,

@@ -64,7 +64,10 @@ def connected_components(
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # convergence metric: count of labels that moved this round — NOT
+    # sum(label), which overflows long under ANSI mode once ids are
+    # large (composite/shifted id spaces put ids near 2^61; a few
+    # million of those cannot be summed into one long)
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -79,6 +82,7 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_old"),  # round-start label
             )
         )
         # pointer jump: label := label(label). Min-propagation keeps every
@@ -97,13 +101,25 @@ def connected_components(
                 F.least(
                     F.col("s.label"), F.coalesce(F.col("jlabel"), F.col("s.label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("s.label"),
+                        F.coalesce(F.col("jlabel"), F.col("s.label")),
+                    )
+                    < F.col("s._old")
+                ).alias("_moved"),
             )
         )
-        labels = jumped.localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        moved_and_labels = jumped.localCheckpoint()
+        n_moved = (
+            moved_and_labels.agg(
+                F.sum(F.col("_moved").cast("long")).alias("n")
+            ).first()["n"]
+            or 0
+        )
+        labels = moved_and_labels.drop("_moved", "_old")
+        if n_moved == 0:
             break
-        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -23,6 +23,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def _word_hits(low, words: list[str]):
+    """Count occurrences of any of ``words`` as WHOLE tokens of the
+    lowercased text — lookarounds bound the match to a maximal
+    [a-z0-9']+ run, so the count equals filtering the token array."""
+    pat = "(?<![a-z0-9'])(?:" + "|".join(words) + ")(?![a-z0-9'])"
+    return F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+
+
 def token_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -48,24 +56,41 @@ def quality_scores(
     - ``avg_token_len``
     - ``quality``: mean of (ttr, min(stop_ratio*4, 1), alnum_ratio)
     """
-    toks = tokens_col(text_col)
-    low = F.lower(F.col(text_col))
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_alnum = F.length(F.regexp_replace(low, "[^a-z0-9' ]", ""))
-    out = docs.select(
+    # one tokenize, struct-materialized (the analyze_locale trick); the
+    # stopword count is a lookaround-regex extract over the lowercased
+    # text — COUNT-IDENTICAL to filtering the token array (a token is a
+    # maximal [a-z0-9']+ run, so "s with no [a-z0-9'] on either side" is
+    # exactly "token == s") but whole-stage-codegen instead of the
+    # interpreted F.filter HOF, which measured ~6x slower at 250k docs
+    # (BENCH/pipeline_soak section in BENCH/BASELINE.md)
+    base = docs.select(
         F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("_low"),
+        F.struct(tokens_col(text_col).alias("t")).alias("_s"),
+    )
+    t = F.col("_s.t")
+    n_tok = F.size(t)
+    n_stop = _word_hits(F.col("_low"), STOPWORDS)
+    # alnum char count via translate-delete, NOT regexp_replace of the
+    # complement class: identical value (len - count of chars in the
+    # set), but the regex replace allocates per match and measured 31s
+    # vs 0.3s on a 250k-doc scan (BENCH/BASELINE.md)
+    _alnum_chars = "abcdefghijklmnopqrstuvwxyz0123456789' "
+    n_alnum = F.length("_low") - F.length(
+        F.translate(F.col("_low"), _alnum_chars, "")
+    )
+    out = base.select(
+        "id",
         n_tok.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4).alias(
+        F.round(F.size(F.array_distinct(t)) / F.greatest(n_tok, F.lit(1)), 4).alias(
             "ttr"
         ),
         F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stop_ratio"),
-        F.round(n_alnum / F.greatest(F.length(low), F.lit(1)), 4).alias(
+        F.round(n_alnum / F.greatest(F.length("_low"), F.lit(1)), 4).alias(
             "alnum_ratio"
         ),
         F.round(
-            (F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1))), 4
+            (F.length(F.array_join(t, "")) / F.greatest(n_tok, F.lit(1))), 4
         ).alias("avg_token_len"),
     )
     return out.withColumn(
@@ -90,14 +115,16 @@ def lang_id(
     Deterministic: ties break by language code ascending; docs with no
     marker hits get 'und' (undetermined).
     """
-    toks = tokens_col(text_col)
+    low = F.lower(F.col(text_col))
+    n_tok = F.size(tokens_col(text_col))
     cols = []
     for lang in sorted(LANG_MARKERS):
-        arr = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # codegen-friendly whole-token regex count (== token-array
+        # filter; see _word_hits)
+        hits = _word_hits(low, LANG_MARKERS[lang])
         cols.append(
             F.struct(
-                F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4).alias("score"),
+                F.round(hits / F.greatest(n_tok, F.lit(1)), 4).alias("score"),
                 F.lit(lang).alias("lang"),
             )
         )

@@ -48,6 +48,7 @@ def prepare_training_data(
     quality_min: float = 0.3,
     rep_max: float = 0.5,
     jaccard: float = 0.5,
+    near_k: int = 3,
     bench: DataFrame | None = None,
     contam_ngram: int = 13,
     weights: dict[str, float] | None = None,
@@ -83,9 +84,21 @@ def prepare_training_data(
         token_counts,
     )
 
+    import time as _time
+
     metrics: dict = {}
+    _t0 = _time.time()
+
+    def _lap(key: str) -> None:
+        # the count() that precedes each _lap materializes the persisted
+        # stage, so the lap ≈ that stage's wall-time
+        nonlocal _t0
+        metrics[f"t_{key}_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
+
     if collect_metrics:
         metrics["docs_in"] = docs.count()
+        _lap("read")
 
     # 1. quality + repetition gates (semi-joins on the id — the doc
     # relation passes through untouched, no wide columns duplicated)
@@ -106,6 +119,7 @@ def prepare_training_data(
         filtered = filtered.persist()
     if collect_metrics:
         metrics["docs_after_quality"] = filtered.count()
+        _lap("quality")
 
     # 2. exact dedup: min id per fingerprint
     keep_exact = (
@@ -119,15 +133,20 @@ def prepare_training_data(
         exact = exact.persist()
     if collect_metrics:
         metrics["docs_after_exact_dedup"] = exact.count()
+        _lap("exact_dedup")
 
     # 3. near dedup: pair graph -> components -> canonical survivors
-    pairs = ngram_jaccard_pairs(exact, k=3, threshold=jaccard,
+    # near_k: 3-gram shingles for the small-corpus catalog/oracle runs;
+    # real web-scale corpora use 5+ (rarer shingles => smaller candidate
+    # buckets under the same df cap — see tools/bench_pipeline_soak.py)
+    pairs = ngram_jaccard_pairs(exact, k=near_k, threshold=jaccard,
                                 id_col=id_col, text_col=text_col)
     deduped = dedup_corpus(exact, pairs, id_col=id_col)
     if cache_stages:
         deduped = deduped.persist()
     if collect_metrics:
         metrics["docs_after_near_dedup"] = deduped.count()
+        _lap("near_dedup")
 
     # 3b. benchmark decontamination over the (smaller) survivor set
     if bench is not None:
@@ -144,6 +163,7 @@ def prepare_training_data(
             deduped = deduped.persist()
         if collect_metrics:
             metrics["docs_after_decontam"] = deduped.count()
+            _lap("decontam")
 
     # 4. deterministic split, 5. per-split chunk packing
     split = hash_split(deduped, weights, salt=salt, id_col=id_col)
@@ -163,4 +183,5 @@ def prepare_training_data(
             .collect()
         }
         metrics["total_tokens"] = packed.agg(F.sum("n_tokens")).collect()[0][0]
+        _lap("split_pack")
     return packed, metrics
