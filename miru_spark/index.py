@@ -48,6 +48,9 @@ class InvertedIndex:
     # soft-deleted docints, masked out of every answer (the reference's
     # removal index, MiruRemovalIndex / MiruAggregateUtil.java:1140)
     tombstones: DataFrame | None = None
+    #: analyzer the postings were built with — query strings parse
+    #: through the same analyzer (parse_query(q, analyzer=...))
+    analyzer: str = "standard"
 
     def with_tombstones(self, tombstones: DataFrame) -> "InvertedIndex":
         """Same index with a removal mask (docint column) applied to
@@ -88,7 +91,10 @@ class InvertedIndex:
         )
         n, avgdl = corpus_stats(doc_tbl)
         terms = term_stats(post)
-        return cls(post, doc_tbl, terms, n, avgdl, _docs_cached=base if cache else None)
+        return cls(
+            post, doc_tbl, terms, n, avgdl,
+            _docs_cached=base if cache else None, analyzer=analyzer,
+        )
 
     def save(
         self, path: str, n_buckets: int = 32, table_format: str = "auto"
@@ -132,6 +138,7 @@ class InvertedIndex:
             "n_docs": self.n_docs,
             "avg_doclen": self.avg_doclen,
             "format": fmt,
+            "analyzer": self.analyzer,
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -211,6 +218,7 @@ class InvertedIndex:
             "n_docs": int(row["n"]),
             "avg_doclen": float(row["avgdl"] or 0.0),
             "format": fmt,
+            "analyzer": analyzer,
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -254,6 +262,7 @@ class InvertedIndex:
             int(meta["n_docs"]),
             float(meta["avg_doclen"]),
             blocks=blocks,
+            analyzer=meta.get("analyzer", "standard"),
         )
 
     def register_views(self, prefix: str = "miru") -> list[str]:

@@ -40,7 +40,7 @@ def search_batch(
     for qid, qs, k in queries:
         # the MultiTermQuery rewrite makes wildcard/fuzzy queries
         # fusable into the shared scan instead of falling back
-        node = expand_multiterm(index, parse_query(qs))
+        node = expand_multiterm(index, parse_query(qs, index.analyzer))
         f = _fusable(node)
         if f is None:
             fallback.append((qid, qs, k))

@@ -229,7 +229,7 @@ def scored_matches(
     the scored answer set). Same semantics as :func:`search`'s bm25
     strategy before the heap: tombstones masked, time-range mask applied,
     matched docs with no positive term score 0.0 (FullText.java:139)."""
-    node = parse_query(query) if isinstance(query, str) else query
+    node = parse_query(query, index.analyzer) if isinstance(query, str) else query
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(index, node)
@@ -316,7 +316,7 @@ def search(
     as keyset pagination (see ``_page_pred``). For time strategy the
     cursor is just ``exclude`` + the docint order.
     """
-    node = parse_query(query) if isinstance(query, str) else query
+    node = parse_query(query, index.analyzer) if isinstance(query, str) else query
     if synonyms:
         from miru_spark.query.ast import expand_synonyms
 
@@ -448,7 +448,7 @@ def search_min_should_match(
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
-        index, parse_query(query) if isinstance(query, str) else query
+        index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
     f = _fusable(node)
     if f is None:
@@ -532,7 +532,7 @@ def search_dismax(
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
-        index, parse_query(query) if isinstance(query, str) else query
+        index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
     f = _fusable(node)
     # DisjunctionMax is inherently disjunctive: any doc matching >= 1

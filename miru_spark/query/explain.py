@@ -44,7 +44,7 @@ def explain_scores(
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
-        index, parse_query(query) if isinstance(query, str) else query
+        index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
     f = _fusable(node)
     if f is None:

@@ -292,7 +292,56 @@ def _retarget(node: Node, field: str) -> Node:
     raise QueryParseError(f"unsupported node in field group: {node!r}")
 
 
-def parse_query(q: str) -> Node:
+def analyze_node(node: Node, analyzer: str = "standard") -> Node:
+    """Run text-field Term/Phrase leaves through the index's analyzer —
+    the reference analyzes every query string with the field's analyzer
+    (``TermTokenizer.java:34-54`` via ``TermAnalyzers.findAnalyzer``), so
+    a stemmed index must stem its queries too ('joins' must hit an
+    ``en`` index's 'join' postings).
+
+    Lucene parity for the edges: multi-term expansions (a CJK term
+    analyzing to bigrams) become And(...) for Terms and expand in place
+    inside Phrases; Prefix/Wildcard/Fuzzy/Regexp patterns BYPASS
+    analysis (Lucene multi-term queries are not analyzed); metadata
+    fields (role:, tool:) are keyword fields and pass through; a term
+    that analyzes to nothing (pure stopword under a ``_stop`` analyzer)
+    is left verbatim, matching Lucene's no-op on empty token streams.
+
+    NOT idempotent for suffix stemmers — apply exactly once per query
+    string, which ``parse_query(q, analyzer=...)`` guarantees.
+    """
+    if analyzer == "standard":
+        return node
+    from dataclasses import replace as _replace
+
+    from miru_spark.analyzers import analyze_py
+    from miru_spark.query.ast import And, Not, Or, Phrase, Term
+
+    def go(n: Node) -> Node:
+        if isinstance(n, Term) and n.field == DEFAULT_FIELD:
+            out = analyze_py(n.value, analyzer)
+            if not out:
+                return n
+            if len(out) == 1:
+                return _replace(n, value=out[0])
+            return And(tuple(_replace(n, value=v) for v in out))
+        if isinstance(n, Phrase) and n.field == DEFAULT_FIELD:
+            vals: list[str] = []
+            for v in n.values:
+                vals.extend(analyze_py(v, analyzer))
+            return _replace(n, values=tuple(vals)) if vals else n
+        if isinstance(n, And):
+            return And(tuple(go(c) for c in n.children))
+        if isinstance(n, Or):
+            return Or(tuple(go(c) for c in n.children))
+        if isinstance(n, Not):
+            return Not(go(n.child))
+        return n
+
+    return go(node)
+
+
+def parse_query(q: str, analyzer: str = "standard") -> Node:
     toks = _lex(q)
     if not toks:
         raise QueryParseError("empty query")
@@ -300,4 +349,4 @@ def parse_query(q: str) -> Node:
     node = p.parse_or()
     if p.peek() is not None:
         raise QueryParseError(f"trailing tokens at {p.i}")
-    return node
+    return analyze_node(node, analyzer)

@@ -101,7 +101,7 @@ def search_lm_dirichlet(
     Returns (conv_id, turn_idx, docint, score), (score desc, docint
     desc) order.
     """
-    node = parse_query(query) if isinstance(query, str) else query
+    node = parse_query(query, index.analyzer) if isinstance(query, str) else query
     node = expand_multiterm(index, node)
     leaves = list(dict.fromkeys(positive_text_leaves(node)))
     pred = text_leaves_pred(leaves)

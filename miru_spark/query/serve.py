@@ -77,7 +77,7 @@ def search_auto(
     posting-mass estimate says the flat scan is cheaper. Output schema
     and ranking are identical either way.
     """
-    node = parse_query(query) if isinstance(query, str) else query
+    node = parse_query(query, index.analyzer) if isinstance(query, str) else query
     plan = choose_plan(
         index, node,
         and_min_postings=and_min_postings,

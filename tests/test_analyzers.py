@@ -174,6 +174,67 @@ def test_unknown_analyzer_raises():
         duckdb_analyze("x", "nope")
 
 
+def test_query_analyzed_like_index(spark):
+    """Query strings run through the INDEX's analyzer (the reference's
+    TermTokenizer applies the field analyzer to query strings): 'joins'
+    must hit an en index whose postings hold the stem 'join'; a French
+    plural query must hit the stemmed French postings; the analyzer
+    round-trips through save/load."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.parser import analyze_node, parse_query
+
+    rows = [
+        ("c0", 0, "user", "the join plans", "t", 1000),
+        ("c1", 0, "user", "les maisons anciennes", "t", 2000),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    idx_en = InvertedIndex.build(turns, positions=False, analyzer="en")
+    # inflected query form matches the stemmed posting
+    assert search(idx_en, "joins AND plan", k=5).count() == 1
+    assert search(idx_en, "plans", k=5).count() == 1
+
+    idx_fr = InvertedIndex.build(turns, positions=False, analyzer="fr")
+    assert search(idx_fr, "maison AND ancienne", k=5).count() == 1
+    # metadata fields stay keyword (unanalyzed)
+    assert search(idx_fr, "maisons AND role:user", k=5).count() == 1
+
+    # analyze_node edges: multi-token CJK expansion -> And; patterns bypass
+    from miru_spark.query.ast import And, Prefix, Term
+
+    n = analyze_node(Term("中文处"), "cjk")
+    assert isinstance(n, And) and {c.value for c in n.children} == {"中文", "文处"}
+    assert analyze_node(Prefix("maison"), "fr") == Prefix("maison")
+    # parse-time application is single-shot (stemmers are not idempotent)
+    assert parse_query("dans", "fr") == Term("dan")
+
+
+def test_analyzer_roundtrips_meta(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+
+    rows = [("c0", 0, "user", "les maisons anciennes", "t", 1000)]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    idx = InvertedIndex.build_persisted(
+        turns, str(tmp_path / "seg"), analyzer="fr"
+    )
+    assert idx.analyzer == "fr"
+    re = InvertedIndex.load(spark, str(tmp_path / "seg"))
+    assert re.analyzer == "fr"
+    assert search(re, "maison", k=5).count() == 1
+
+
 def test_index_build_with_analyzer(spark):
     """An index built with the en analyzer serves stemmed terms: a
     query for 'join' matches docs that only contain 'joins'."""
