@@ -123,7 +123,11 @@ def main() -> None:
     spark = get_spark(
         "miru_pipeline_soak",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus * 4,  # soak-sized partitions
+        # spill-aware partition sizing: ~2k docs (~1.5MB text + gram
+        # explode) per shuffle partition; AQE coalesces the small ones.
+        # At 1M docs the cpus*4 default left ~450MB/partition in the
+        # shingle joins and spilled 220GB — see BENCH/BASELINE.md.
+        shuffle_partitions=max(args.cpus * 4, args.docs // 2000),
         extra_conf={"spark.ui.enabled": "true"},  # REST metrics scrape
     )
 

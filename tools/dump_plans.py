@@ -309,6 +309,53 @@ def main() -> None:
         )
     )
 
+    # -- round-3 additions ---------------------------------------------------
+    from miru_spark.operators.strut import catwalk_model, strut_score
+
+    answer = idx.postings.where(F.col("term") == "spark").select("docint").distinct()
+    model = catwalk_model(idx, answer, min_numerator=3)
+    cands = idx.postings.where(F.col("term") == "join").select("docint").distinct()
+    sections.append(
+        (
+            "Strut ML scoring (MAX strategy)",
+            "Index-only: postings under candidate semi-join, model "
+            "BROADCAST (bounded by the min-numerator floor), one "
+            "aggregate per strategy (sum/max switch), "
+            "TakeOrderedAndProject heap, metadata joined after the "
+            "limit — the BM25 serving plan with a different aggregate.",
+            strut_score(idx, cands, model, k=10, strategy="max"),
+        )
+    )
+    from miru_spark.operators.textstats import quality_scores
+
+    sections.append(
+        (
+            "Doc quality features (pipeline gate)",
+            "ONE projection, fully codegen: token array materialized "
+            "once via struct, stopword count by whole-token regex "
+            "extract, alnum count by translate-delete (the "
+            "regexp_replace complement-class form measured 31s vs 0.3s "
+            "at 250k docs), no HOFs, no shuffle.",
+            quality_scores(docs_tbl),
+        )
+    )
+    from miru_spark.streaming.delivery import match_subscriptions
+
+    sections.append(
+        (
+            "Realtime delivery subscription matching (one micro-batch)",
+            "One tokenize pass shared by every subscription (union of "
+            "per-subscription filters over the same scan), staleness "
+            "cutoff broadcast from a 1-row aggregate — no per-"
+            "subscription rescans, no Python predicates.",
+            match_subscriptions(
+                turns,
+                [("s1", "spark AND join"), ("s2", "role:assistant AND merge")],
+                drop_older_than="48 HOURS",
+            ),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
