@@ -1270,6 +1270,28 @@ sh AS (
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
 """
 
+# Hashed-shingle variant: the Spark jaccard family hashes each gram to
+# its 60-bit md5 before the distinct (shuffle compression — see
+# dedup.shingles(hashed=True)); the twin applies the SAME md5_long so
+# both engines operate on the identical shingle domain. Minhash keeps
+# the string CTE (its seeded signature hashes concat the gram text).
+_SH_HASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+  FROM documents
+),
+shx AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS g
+  FROM tok
+),
+sh AS (SELECT DISTINCT id, {_MD5L.format(x="g")} AS shingle FROM shx),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
 _JACCARD_VERIFY_SQL = """
 shared AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
@@ -1375,7 +1397,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dedup_ngram_jaccard",
     _q_ngram_jaccard,
-    _SH_SQL
+    _SH_HASH_SQL
     + """,
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1466,7 +1488,7 @@ def _q_ngram_jaccard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dedup_ngram_delta",
     _q_ngram_jaccard_delta,
-    _SH_SQL
+    _SH_HASH_SQL
     + """,
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1493,7 +1515,7 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dedup_components",
     _q_dedup_components,
-    _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _SH_HASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + ","
     + _JACCARD_COMPONENT_CTES
     + """
@@ -1626,14 +1648,15 @@ f2 AS (SELECT f1.* FROM f1 JOIN keepx USING (doc_id)),
 t2 AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t FROM f2
 ),
-sh AS (
-  SELECT DISTINCT doc_id AS id,
+shx AS (
+  SELECT doc_id AS id,
          unnest(CASE WHEN len(t) >= 3
                 THEN list_transform(range(1, len(t) - 1),
                                     i -> array_to_string(t[i:i+2], ' '))
-                ELSE [] END) AS shingle
+                ELSE [] END) AS g
   FROM t2
 ),
+sh AS (SELECT DISTINCT id, {_MD5L.format(x='g')} AS shingle FROM shx),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -3385,7 +3408,7 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dedup_survivors",
     _q_dedup_survivors,
-    _SH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _SH_HASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + ","
     + _JACCARD_COMPONENT_CTES
     + ","

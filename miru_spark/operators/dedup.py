@@ -55,7 +55,11 @@ def exact_dup_groups(
 
 
 def shingles(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle) — distinct token k-grams per doc.
 
@@ -65,12 +69,20 @@ def shingles(
     previous ``transform(sequence(…), i -> array_join(slice(…)))``
     higher-order-function build ran interpreted and measured ~10×
     slower on the same gram volume (BENCH/BASELINE.md microbench).
+
+    ``hashed=True`` replaces the ~25-35 byte gram string with its
+    60-bit md5 (``md5_long`` — same hash family as the DuckDB twins)
+    BEFORE the distinct, so every downstream shuffle (distinct, df
+    count, pair join) moves 8-byte longs instead of strings — ~3×
+    less shuffle volume and long-key comparisons. Set semantics are
+    preserved up to md5 collisions: at 1e12 distinct shingles (a
+    ~10B-doc corpus) ~4e5 of the ~5e23 type pairs collide, and a
+    collision only perturbs a pair's Jaccard by ±1 shared gram —
+    far below any duplicate threshold's decision margin.
     """
-    return (
-        _span_occurrences(docs, k, id_col, text_col)
-        .select("id", F.col("gram").alias("shingle"))
-        .distinct()
-    )
+    occ = _span_occurrences(docs, k, id_col, text_col)
+    gram = md5_long(F.col("gram")) if hashed else F.col("gram")
+    return occ.select("id", gram.alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -95,45 +107,100 @@ def ngram_jaccard_pairs(
     all viral — by construction low-Jaccard unless the docs are shorter
     than k+cap tokens. ``None`` disables the cap (oracle twin).
     """
-    sh = shingles(docs, k, id_col, text_col).cache()
+    sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df == "auto":
         max_df = max(64, -(-docs.count() // 200))
-    join_sh = sh
-    if max_df is not None:
-        common = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
-        join_sh = sh.join(common, "shingle", "left_anti")
+    join_sh, capped_sh = _df_cap_split(sh, max_df)
     a, b = join_sh.alias("a"), join_sh.alias("b")
-    cand = (
+    # Fused verify: the pair join already touches every shared uncapped
+    # shingle once, so groupBy-count IS the shared-shingle count — no
+    # distinct() + re-join of the full shingle sets per candidate (the
+    # re-join shuffled Σ(n_a+n_b) gram rows per candidate and dominated
+    # the 1M-doc soak; see BENCH/BASELINE.md round-3 section).
+    shared = (
         a.join(b, "shingle")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    return _jaccard_verify(sh, sizes, cand, threshold)
-
-
-def _jaccard_verify(
-    sh: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact Jaccard over full shingle sets for candidate (id_a, id_b)
-    pairs — the shared verification stage of every candidate generator
-    (shared-shingle, MinHash bands, delta join)."""
-    shared = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("id_b") == F.col("sb.id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    shared = _add_capped_shared(shared, capped_sh)
+    return _jaccard_from_counts(shared, sizes, threshold)
+
+
+def _df_cap_split(
+    sh: DataFrame, max_df: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split the shingle relation on the stop-shingle df cap:
+    (join-side shingles with df ≤ cap, capped shingles with df > cap —
+    or None when the cap is off).
+
+    Eagerly probes whether ANY shingle exceeds the cap (one aggregate
+    over the cached shingle relation — the same df count the anti-join
+    needs anyway). On realistic heavy-tail corpora no shingle comes
+    near 0.5%·n document frequency, and the probe lets the whole cap
+    machinery (anti-join, capped-side scan, correction join, persist)
+    vanish from the plan instead of running as no-ops."""
+    if max_df is None:
+        return sh, None
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+        .cache()
+    )
+    if common.limit(1).count() == 0:
+        common.unpersist()
+        return sh, None
+    return (
+        sh.join(common, "shingle", "left_anti"),
+        sh.join(common, "shingle", "left_semi"),
+    )
+
+
+def _add_capped_shared(
+    shared: DataFrame, capped_sh: DataFrame | None
+) -> DataFrame:
+    """Make the fused per-pair shared count exact under the df cap.
+
+    ``shared`` counts shingles the pair join touched — i.e. shared
+    shingles with df ≤ cap. A pair may additionally share capped (hot)
+    shingles; those are counted by joining the candidate pairs against
+    the capped shingle sets only (a few shingles per doc — tiny next to
+    the full sets), so n_shared equals the full-set intersection and
+    Jaccard values are exact, identical to the uncapped definition for
+    every surviving pair."""
+    if capped_sh is None:
+        return shared
+    # `shared` feeds two plan branches (the correction join and the
+    # final count sum); persist so the big pair join runs once.
+    shared = shared.persist()
+    s_cap = (
+        shared.select("id_a", "id_b")
+        .join(capped_sh.alias("ca"), F.col("id_a") == F.col("ca.id"))
+        .join(
+            capped_sh.alias("cb"),
+            (F.col("id_b") == F.col("cb.id"))
+            & (F.col("ca.shingle") == F.col("cb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_cap"))
+    )
+    return (
+        shared.join(s_cap, ["id_a", "id_b"], "left")
+        .withColumn(
+            "n_shared",
+            F.col("n_shared") + F.coalesce(F.col("n_cap"), F.lit(0)),
+        )
+        .drop("n_cap")
+    )
+
+
+def _jaccard_from_counts(
+    shared: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, n_shared) + per-doc set sizes → exact Jaccard ≥ t."""
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
@@ -149,6 +216,27 @@ def _jaccard_verify(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _jaccard_verify(
+    sh: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate (id_a, id_b)
+    pairs — the verification stage for candidate generators whose join
+    does not itself touch shingles (MinHash band buckets). The shingle-
+    keyed generators use the fused count path instead (see
+    ``ngram_jaccard_pairs``)."""
+    shared = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return _jaccard_from_counts(shared, sizes, threshold)
 
 
 def ngram_jaccard_pairs_delta(
@@ -171,32 +259,33 @@ def ngram_jaccard_pairs_delta(
     New-new pairs are found too (both sides in the delta). Results equal
     ``ngram_jaccard_pairs(docs)`` filtered to pairs touching the delta.
     """
-    sh = shingles(docs, k, id_col, text_col).cache()
+    sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df == "auto":
         max_df = max(64, -(-docs.count() // 200))
-    join_sh = sh
-    if max_df is not None:
-        common = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
+    join_sh, capped_sh = _df_cap_split(sh, max_df)
+    # Flag delta membership so each pair's shared shingles are counted
+    # exactly once (a delta-delta pair meets in both join orders):
+    # keep (delta, non-delta) rows always, (delta, delta) only ordered.
+    flagged = join_sh.join(
+        delta_ids.select("id").withColumn("_delta", F.lit(True)),
+        "id",
+        "left",
+    )
+    new_sh = flagged.where(F.col("_delta")).alias("d")
+    shared = (
+        new_sh.join(flagged.alias("o"), "shingle")
+        .where(
+            F.col("o._delta").isNull() | (F.col("d.id") < F.col("o.id"))
         )
-        join_sh = sh.join(common, "shingle", "left_anti")
-    new_sh = join_sh.join(
-        delta_ids.select(F.col("id")), "id", "left_semi"
-    ).alias("d")
-    cand = (
-        new_sh.join(join_sh.alias("o"), "shingle")
-        .where(F.col("d.id") != F.col("o.id"))
-        .select(
+        .groupBy(
             F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
             F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return _jaccard_verify(sh, sizes, cand, threshold)
+    shared = _add_capped_shared(shared, capped_sh)
+    return _jaccard_from_counts(shared, sizes, threshold)
 
 
 def minhash_signatures(
@@ -269,31 +358,7 @@ def minhash_lsh_pairs(
     )
     # verify with exact Jaccard over the SAME cached shingle sets
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("id_b") == F.col("sb.id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(sh, sizes, cand, threshold)
 
 
 SIMHASH_BITS = 32
