@@ -306,6 +306,7 @@ def ngram_repetition(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cross_dup: bool = True,
 ) -> DataFrame:
     """Duplicate-n-gram quality signals (the Gopher/RefinedWeb filter
     family): per doc,
@@ -326,6 +327,18 @@ def ngram_repetition(
     interpreted eval and measured ~15x slower at sf0.1 (9.4 s vs
     0.8 s); the window is partitioned by the high-cardinality doc id,
     so it stays scale-safe.
+
+    Both rollups use only gram IDENTITY, never the text, so grams are
+    xxhash64'd before the first shuffle: the (id, gram) aggregate and
+    the df count move 8-byte keys instead of ~25-byte strings. A 64-bit
+    collision merges two gram types — at 1e11 distinct corpus grams
+    that perturbs ~3e-6 of types, shifting a doc's ratios by at most
+    one occurrence; far below any quality threshold's margin.
+
+    ``cross_dup=False`` (the pipeline's quality gate needs only
+    ``rep_ratio``) skips the corpus-df aggregate and its join back —
+    the per-doc stats come from one shuffle of distinct (id, hash)
+    pairs — and omits the ``cross_dup_frac`` column.
     """
     exploded = _doc_ngrams(docs, n, id_col, text_col)
     base = docs.select(F.col(id_col).alias("id"))
@@ -333,42 +346,49 @@ def ngram_repetition(
     # this, per-gram df is a plain count and both per-doc aggregates are
     # distinct-free (no two-phase count_distinct expansion anywhere),
     # and the gram join carries distinct pairs instead of occurrences.
-    per = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("occ"))
-    gdf = per.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    per_doc = (
-        per.join(gdf, "gram")
-        .groupBy("id")
-        .agg(
+    per = exploded.select("id", F.xxhash64("gram").alias("g")).groupBy(
+        "id", "g"
+    ).agg(F.count(F.lit(1)).alias("occ"))
+    if cross_dup:
+        gdf = per.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+        per_doc = (
+            per.join(gdf, "g")
+            .groupBy("id")
+            .agg(
+                F.sum("occ").alias("n_ngrams"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(
+                    F.when(F.col("gdf") > 1, F.col("occ")).otherwise(0)
+                ).alias("n_crossdup"),
+            )
+        )
+    else:
+        per_doc = per.groupBy("id").agg(
             F.sum("occ").alias("n_ngrams"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(
-                F.when(F.col("gdf") > 1, F.col("occ")).otherwise(0)
-            ).alias("n_crossdup"),
         )
-    )
-    return (
-        base.select("id")
-        .join(per_doc, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_ngrams", F.lit(0)).cast("int").alias("n_ngrams"),
-            F.coalesce("n_distinct", F.lit(0)).cast("int").alias("n_distinct"),
-            F.when(
-                F.col("n_ngrams") > 0,
-                F.round(
-                    1.0 - F.col("n_distinct") / F.col("n_ngrams").cast("double"), 4
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("rep_ratio"),
+    cols = [
+        F.coalesce("n_ngrams", F.lit(0)).cast("int").alias("n_ngrams"),
+        F.coalesce("n_distinct", F.lit(0)).cast("int").alias("n_distinct"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_ngrams").cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    ]
+    if cross_dup:
+        cols.append(
             F.when(
                 F.col("n_ngrams") > 0,
                 F.round(F.col("n_crossdup") / F.col("n_ngrams").cast("double"), 4),
             )
             .otherwise(F.lit(0.0))
-            .alias("cross_dup_frac"),
+            .alias("cross_dup_frac")
         )
-    )
+    return base.select("id").join(per_doc, "id", "left").select("id", *cols)
 
 
 # GPT-2-flavored piece splitter (ASCII subset, engine-portable: the same

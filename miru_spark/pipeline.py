@@ -108,7 +108,7 @@ def prepare_training_data(
         .select(F.col("id").alias(id_col))
     )
     good_r = (
-        ngram_repetition(docs, 3, id_col, text_col)
+        ngram_repetition(docs, 3, id_col, text_col, cross_dup=False)
         .where(F.col("rep_ratio") <= rep_max)
         .select(F.col("id").alias(id_col))
     )
