@@ -4833,3 +4833,104 @@ FROM ev e JOIN cohort c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )
+
+
+# Inline multilingual corpus for analyze_breadth: one deterministic
+# sentence per reference locale key (TermAnalyzers.java:53-99), with
+# inflected forms that exercise each locale's stemmer and mixed-case /
+# region-variant locale codes that exercise findAnalyzer's prefix walk.
+# No apostrophes (rows are embedded as SQL literals in the oracle twin).
+_BREADTH_ROWS: tuple[tuple[str, str], ...] = (
+    ("en", "The quick brown foxes jump over the lazy dogs"),
+    ("en_IE", "Irish english maps to the english stemmer holidays"),
+    ("fr", "Les renards bruns rapides sautent sur les chiens dans les maisons"),
+    ("de", "Die schnellen braunen Füchse springen über die faulen Hunde"),
+    ("es", "Los zorros marrones rápidos saltan sobre los perros perezosos"),
+    ("it", "Le volpi marroni veloci saltano sopra i cani pigri"),
+    ("pt", "As raposas castanhas rápidas saltam sobre os cães preguiçosos"),
+    ("pt_BR", "As raposas brasileiras saltam sobre os meses alugadas"),
+    ("nl", "De snelle bruine vossen springen over de luie honden en huisjes"),
+    ("da", "De hurtige brune ræve springer over de dovne hundene i husene"),
+    ("sv", "De snabba bruna rävarna hoppar över de lata hundarna i husen"),
+    ("nb", "De raske brune revene hopper over de late hundene i husene"),
+    ("nn", "Dei raske brune revane hoppar over dei late hundane"),
+    ("ro", "Vulpile maro rapide sar peste câinii leneși prin orașele mari"),
+    ("ca", "Les guineus marrons ràpides salten sobre els gossos mandrosos"),
+    ("gl", "Os raposos marróns rápidos saltan sobre os cans preguiceiros"),
+    ("id", "Rubah coklat cepat melompatkah anjingnya pemalasku pun"),
+    ("eu", "Azeri arinak txakur alferren gainetik jauzi egiten dute mendietan"),
+    ("fi", "Nopeat ruskeat ketut hyppäävät laiskojen koirien yli taloissa"),
+    ("cs", "Rychlé hnědé lišky skáčou přes líné psy ve velkých městech"),
+    ("lv", "Ātrās brūnās lapsas lec pāri slinkiem suņiem lielajās pilsētās"),
+    ("tr", "Hızlı kahverengi tilkiler tembel köpeklerin üzerinden atlarlar"),
+    ("ru", "Быстрые коричневые лисы прыгают через ленивых собак в городах"),
+    ("bg", "Бързите кафяви лисици скачат през мързеливите кучета в градовете"),
+    ("gr", "Οι γρήγορες καφέ αλεπούδες πηδούν πάνω από τεμπέληδες σκύλους"),
+    ("hi", "तेज़ भूरी लोमड़ियों ने आलसी कुत्तों के ऊपर छलांग लगाई"),
+    ("hy", "Արագ շագանակագույն աղվեսները ցատկում են ծույլ շների վրայով"),
+    ("ar", "الثعالبُ البنيةُ السريعةُ تقفزُ فوقَ الكلابِ الكسولةِ في المدينة"),
+    ("fa", "روباه‌های قهوه‌ای سریع از روی سگ‌های تنبل می‌پرند در شهرها"),
+    ("ku", "روباه‌های سۆرانی در شهرها"),
+    ("th", "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้าม fast dogs"),
+    ("zh", "快速的棕色狐狸跳过懒狗 spark joins"),
+    ("ja", "素早い茶色の狐が怠け者の犬を飛び越える"),
+    ("ko", "빠른 갈색 여우가 게으른 개를 뛰어넘는다"),
+)
+
+
+def _q_analyze_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-registry per-locale analysis (TermAnalyzers.java:53-99):
+    every reference locale key analyzed by the analyzer it resolves to
+    via analyzer_for_locale (incl. the prefix walk for en_IE/pt_BR and
+    the shared nb/nn→no and ku→fa mappings), over an inline
+    deterministic corpus — the sf fixture only carries 5 langs, so
+    breadth is proven on embedded rows identical in both engines.
+    Output is (locale, pos, token): pos pins token ORDER into the value
+    hash, so the oracle proves tokenization, normalization chains
+    (Greek ς→σ, Turkish dot-strip, Arabic tashkeel/alef folding), and
+    longest-suffix stemming end-to-end for all 34 locale keys."""
+    from miru_spark.analyzers import analyze_col, analyzer_for_locale
+
+    df = spark.createDataFrame(list(_BREADTH_ROWS), "locale string, text string")
+    expr = None
+    for loc in sorted({r[0] for r in _BREADTH_ROWS}):
+        toks = analyze_col(F.col("text"), analyzer_for_locale(loc))
+        expr = (
+            F.when(F.col("locale") == loc, toks)
+            if expr is None
+            else expr.when(F.col("locale") == loc, toks)
+        )
+    return df.select(
+        "locale", F.posexplode(expr).alias("pos", "token")
+    ).select("locale", F.col("pos").cast("int").alias("pos"), "token")
+
+
+def _analyze_breadth_sql() -> str:
+    from miru_spark.analyzers import analyzer_for_locale, duckdb_analyze
+
+    values = ",\n    ".join(
+        f"('{loc}', '{text}')" for loc, text in _BREADTH_ROWS
+    )
+    cases = "\n         ".join(
+        f"WHEN locale = '{loc}' THEN "
+        + duckdb_analyze("text", analyzer_for_locale(loc))
+        for loc in sorted({r[0] for r in _BREADTH_ROWS})
+    )
+    return f"""
+WITH corpus(locale, text) AS (
+  VALUES
+    {values}
+),
+analyzed AS (
+  SELECT locale,
+         CASE {cases} END AS toks
+  FROM corpus
+)
+SELECT locale,
+       (generate_subscripts(toks, 1) - 1)::INT AS pos,
+       unnest(toks) AS token
+FROM analyzed
+"""
+
+
+_register("analyze_breadth", _q_analyze_breadth, _analyze_breadth_sql())

@@ -70,9 +70,23 @@ def _lex(q: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], analyzer: str = "standard"):
         self.toks = toks
         self.i = 0
+        self.analyzer = analyzer
+
+    def _pretok(self, s: str) -> list[str]:
+        """Pre-split a text-field value with the index analyzer's
+        tokenizer+normalizer (no stemming — ``analyze_node`` stems each
+        leaf exactly once afterwards). For ``standard`` this is exactly
+        ``tokenize_py``; for non-latin analyzers it keeps the scripts
+        the LogMill regex would silently drop (a ru query for 'лисы'
+        must reach the ru stemmer, not die here)."""
+        if self.analyzer == "standard":
+            return tokenize_py(s)
+        from miru_spark.analyzers import pretokenize_py
+
+        return pretokenize_py(s, self.analyzer)
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -153,7 +167,7 @@ class _Parser:
                 raise QueryParseError(f"bad phrase suffix: {t!r}")
             slop = int(sm.group(1) or 0)
             boost = float(sm.group(2) or 1.0)
-            parts = tokenize_py(body)
+            parts = self._pretok(body)
             if not parts:
                 raise QueryParseError(f"phrase analyzes to nothing: {t!r}")
             if len(parts) == 1:
@@ -211,7 +225,7 @@ class _Parser:
             # fuzzy: word~ (2 edits, Lucene default) or word~N
             m = re.fullmatch(r"([^~]+)~([0-9]?)", t)
             if m and not any(ch in m.group(1) for ch in "*?"):
-                parts = tokenize_py(m.group(1))
+                parts = self._pretok(m.group(1))
                 if len(parts) != 1:
                     raise QueryParseError(f"fuzzy needs one term: {t!r}")
                 return Fuzzy(parts[0], int(m.group(2) or 2), boost=boost)
@@ -226,7 +240,7 @@ class _Parser:
             t = t[:-1]
         if field == DEFAULT_FIELD:
             # analyze like indexed text; multi-token value => AND of terms
-            parts = tokenize_py(t)
+            parts = self._pretok(t)
             if not parts:
                 raise QueryParseError(f"term analyzes to nothing: {t!r}")
             if is_prefix:
@@ -345,7 +359,7 @@ def parse_query(q: str, analyzer: str = "standard") -> Node:
     toks = _lex(q)
     if not toks:
         raise QueryParseError("empty query")
-    p = _Parser(toks)
+    p = _Parser(toks, analyzer)
     node = p.parse_or()
     if p.peek() is not None:
         raise QueryParseError(f"trailing tokens at {p.i}")

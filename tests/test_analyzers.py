@@ -33,12 +33,35 @@ CASES = [
     "le case sono belle e questo libro è còrso",
     "as casas não são uns meses alugadas",
     "straße STRASSE façade Ça",
+    # breadth-spec scripts (round 3): every sample runs through EVERY
+    # analyzer below, so cross-script inputs also prove each tokenizer
+    # ignores out-of-class codepoints identically in all three engines.
+    "De snelle bruine vossen springen over de luie honden en huisjes",
+    "De snabba bruna rävarna hoppar över de lata hundarna i husen",
+    "Vulpile maro rapide sar peste câinii leneși prin orașele mari",
+    "Rychlé hnědé lišky skáčou přes líné psy ve velkých městech",
+    # NB: no İ here — dotted-capital-I lowercases to i+combining-dot in
+    # the JVM/CPython but plain i in DuckDB, so İ text is only
+    # parity-stable under the tr analyzer (whose pre-rule strips the
+    # dot); see test_breadth_spec_stems.
+    "Hızlı kahverengi tilkiler tembel köpeklerin üzerinden atlarlar",
+    "Быстрые коричневые ЛИСЫ прыгают через ленивых собаками в городах",
+    "Οι γρήγορες καφέ ΑΛΕΠΟΥΔΕΣ πηδούν πάνω από τεμπέληδες σκύλους",
+    "तेज़ भूरी लोमड़ियों ने आलसी कुत्तों के ऊपर छलांग लगाई",
+    "Արագ շագանակագույն ԱՂՎԵՍՆԵՐԸ ցատկում են ծույլ շների վրայով",
+    "الثعالبُ البنيةُ السريعةُ تقفزُ فوقَ الكلابِ الكسولةِ في المدينة",
+    "روباه‌های قهوه‌ای سریع از روی سگ‌های تنبل می‌پرند در شهرها",
+    "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้าม the lazy dogs ก",
 ]
 
 ANALYZERS = [
     "standard", "whitespace", "en", "cjk",
     "fr", "de", "es", "it", "pt",
     "en_stop", "fr_stop", "de_stop", "es_stop", "it_stop", "pt_stop",
+    # round-3 breadth specs (full reference registry)
+    "nl", "da", "sv", "no", "ro", "ca", "gl", "id", "eu", "fi", "cs",
+    "lv", "tr", "ru", "bg", "gr", "hi", "hy", "ar", "fa", "thai",
+    "nl_stop", "da_stop", "sv_stop", "ru_stop",
 ]
 
 
@@ -101,9 +124,25 @@ def test_locale_registry():
         assert analyzer_for_locale(loc) == "cjk"
     for loc in ("fr", "de", "es", "it", "pt"):
         assert analyzer_for_locale(loc) == loc
-    assert analyzer_for_locale("ru") == "standard"  # unregistered locale
+    assert analyzer_for_locale("xx") == "standard"  # unregistered locale
     assert analyzer_for_locale(None) == "standard"
     assert set(LOCALE_ANALYZERS.values()) <= set(ANALYZERS)
+    # the COMPLETE reference registry (TermAnalyzers.java:53-99): every
+    # locale key the reference registers resolves to a non-standard,
+    # locale-appropriate analyzer here too.
+    reference_locales = {
+        "ar", "bg", "ca", "cs", "en", "en_ie", "es", "eu", "da", "de",
+        "fa", "fi", "fr", "gl", "gr", "hi", "hy", "id", "it", "ku",
+        "lv", "nl", "nb", "nn", "pt", "pt_br", "ro", "ru", "sv", "th",
+        "tr", "zh", "ja", "ko",
+    }
+    for loc in reference_locales:
+        assert analyzer_for_locale(loc) != "standard", loc
+    assert set(LOCALE_ANALYZERS) == reference_locales
+    # shared-analyzer mappings mirror the reference's shared instances
+    assert analyzer_for_locale("nb") == analyzer_for_locale("nn") == "no"
+    assert analyzer_for_locale("ku") == "fa"  # Sorani: Perso-Arabic script
+    assert analyzer_for_locale("th") == "thai"
 
 
 def test_locale_fallback_walks_prefixes():
@@ -120,9 +159,13 @@ def test_use_stopwords_toggle():
     """The reference's findAnalyzer(locale, useStopWords) flag."""
     assert analyzer_for_locale("fr", use_stopwords=True) == "fr_stop"
     assert analyzer_for_locale("pt_BR", use_stopwords=True) == "pt_stop"
-    # cjk/standard have no stopword set: flag is a no-op
+    # cjk has no stopword set: flag is a no-op
     assert analyzer_for_locale("zh", use_stopwords=True) == "cjk"
-    assert analyzer_for_locale("ru", use_stopwords=True) == "standard"
+    # round-3 breadth sets
+    assert analyzer_for_locale("ru", use_stopwords=True) == "ru_stop"
+    assert analyzer_for_locale("nl", use_stopwords=True) == "nl_stop"
+    # a spec analyzer without a stopword set: flag is a no-op
+    assert analyzer_for_locale("gr", use_stopwords=True) == "gr"
 
 
 def test_european_minimal_stems():
@@ -150,6 +193,53 @@ def test_european_minimal_stems():
     assert analyze_py("casas não meses alugadas", "pt") == [
         "casa", "não", "mese", "alugada",
     ]
+
+
+def test_breadth_spec_stems():
+    """Spot rules for the round-3 spec analyzers (one inflected →
+    stemmed expectation per language, matching the Lucene light/minimal
+    stemmer each spec approximates)."""
+    assert analyze_py("huisjes honden", "nl") == ["huis", "hond"]
+    assert analyze_py("husene hundene", "da") == ["hus", "hund"]
+    assert analyze_py("rävarna hundarna husen", "sv") == ["räv", "hund", "hus"]
+    assert analyze_py("hundene revene", "no") == ["hund", "rev"]
+    assert analyze_py("orașele vulpile", "ro") == ["oraș", "vulpi"]
+    assert analyze_py("guineus mandrosos", "ca") == ["guineu", "mandroso"]
+    assert analyze_py("raposos cans", "gl") == ["raposo", "can"]
+    assert analyze_py("anjingnya melompatkah", "id") == ["anjing", "melompat"]
+    assert analyze_py("taloissa koirien hyppäävät", "fi") == [
+        "talo", "koiri", "hyppäävä",
+    ]
+    assert analyze_py("městech lišky", "cs") == ["měst", "lišk"]
+    assert analyze_py("pilsētās lapsas", "lv") == ["pilsētā", "laps"]
+    # tr: -lar/-ler plural + genitive; İ lowercases to i+combining-dot
+    # in the JVM and CPython but plain i in DuckDB — the dot-strip
+    # pre-rule makes all three produce 'istanbul'
+    assert analyze_py("TİLKİLER köpeklerin İstanbul", "tr") == [
+        "tilki", "köpek", "istanbul",
+    ]
+    assert analyze_py("собаками городах лисы", "ru") == ["собак", "город", "лис"]
+    assert analyze_py("градовете лисиците", "bg") == ["град", "лисиц"]
+    # gr: final sigma normalized to σ BEFORE suffix strip (also papers
+    # over DuckDB's simple-mapping lower of final Σ)
+    assert analyze_py("ΑΛΕΠΟΥΔΕΣ σκύλους", "gr") == ["αλεπουδ", "σκύλ"]
+    assert analyze_py("लोमड़ियों कुत्तों", "hi") == ["लोमड़िय", "कुत्त"]
+    assert analyze_py("ԱՂՎԵՍՆԵՐԸ քաղաքներում", "hy") == ["աղվես", "քաղաք"]
+    # ar: tashkeel stripped, definite article stripped, alef folded
+    assert analyze_py("الثعالبُ أرنب", "ar") == ["ثعالب", "ارنب"]
+    # fa: ZWNJ splits tokens; ها plural stripped; arabic yeh folded
+    assert analyze_py("شهرها كتاب", "fa") == ["شهر", "کتاب"]
+    # thai: character bigrams over thai runs, latin as standard tokens
+    assert analyze_py("ก ไทย ok", "thai") == ["ok", "ก", "ไท", "ทย"]
+
+
+def test_breadth_stopword_sets():
+    """Surface-form stopword lists folded through their own analyzer at
+    import time: filtering happens on post-analysis forms."""
+    assert analyze_py("de snelle vossen", "nl_stop") == ["snell", "voss"]
+    assert analyze_py("och rävarna i husen", "sv_stop") == ["räv", "hus"]
+    assert analyze_py("og hundene i husene", "da_stop") == ["hund", "hus"]
+    assert analyze_py("и лисы в городах", "ru_stop") == ["лис", "город"]
 
 
 def test_locale_stopword_sets_post_stem():

@@ -477,3 +477,41 @@ def test_synonym_not_expanded_under_negation(small_turns):
     }
     assert isinstance(neg, Not) and isinstance(neg.child, Term)
     assert neg.child.value == "w00002"
+
+
+def test_nonlatin_query_terms_reach_their_analyzer():
+    """A non-latin query term is invisible to the LogMill pre-tokenizer
+    ([a-z0-9']+) — the parser must pre-split with the index analyzer's
+    tokenizer so the term reaches its stemmer instead of raising
+    'analyzes to nothing' (TermTokenizer.java:34-54: the analyzer owns
+    query tokenization)."""
+    import pytest
+
+    from miru_spark.query.ast import And, Phrase, Prefix, Term
+    from miru_spark.query.parser import QueryParseError, parse_query
+
+    # ru: inflected cyrillic stems like the index side
+    assert parse_query("лисы", "ru") == Term("лис")
+    assert parse_query("Быстрые лисы", "ru") == And(
+        (Term("быстр"), Term("лис"))
+    )
+    # mixed script in one query: latin passes through the ru analyzer
+    assert parse_query("лисы spark", "ru") == And(
+        (Term("лис"), Term("spark"))
+    )
+    # phrases pre-split per word, then stem in place
+    assert parse_query('"быстрые лисы"', "ru") == Phrase(("быстр", "лис"))
+    # multi-term queries stay UNstemmed (Lucene: not analyzed)
+    assert parse_query("лисы*", "ru") == Prefix("лисы")
+    # cjk runs survive to analyze_node, which bigrams them
+    assert parse_query("狐跳", "cjk") == Term("狐跳")
+    n = parse_query("中文处", "cjk")
+    assert isinstance(n, And) and {c.value for c in n.children} == {
+        "中文",
+        "文处",
+    }
+    # greek normalization chain applies at pre-split (final sigma)
+    assert parse_query("πόλεις*", "gr") == Prefix("πόλεισ")
+    # the standard analyzer keeps its exact old behavior: loud error
+    with pytest.raises(QueryParseError):
+        parse_query("лисы")
