@@ -154,7 +154,7 @@ def main() -> None:
                  # round-3 additions
                  "strut_scored_max", "strut_scored_regression",
                  "ft_bm25_repair", "delivery_log",
-                 "analyze_locale_stop", "analyze_breadth"]:
+                 "analyze_locale_stop", "analyze_breadth", "ft_bm25_ru"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

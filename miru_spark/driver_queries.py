@@ -4934,3 +4934,105 @@ FROM analyzed
 
 
 _register("analyze_breadth", _q_analyze_breadth, _analyze_breadth_sql())
+
+
+# Inline Cyrillic corpus for ft_bm25_ru: mixed-script transcripts (code
+# identifiers inside Russian prose) with inflection pairs (лисы/лиса,
+# быстрые/быстро) that only match through the ru stemmer.
+_RU_ROWS: tuple[tuple[str, int, str, str, int], ...] = (
+    ("r1", 0, "user", "Быстрые лисы используют spark запросы", 1000),
+    ("r1", 1, "assistant", "лиса прыгает через ленивую собаку", 2000),
+    ("r2", 0, "user", "spark joins и окна в запросах", 3000),
+    ("r2", 1, "user", "собаки спят а лисы прыгают быстро", 4000),
+    ("r3", 0, "assistant", "медленные черепахи не используют индексы", 5000),
+    ("r3", 1, "user", "быстрый индекс для быстрых запросов", 6000),
+)
+
+
+def _q_ft_bm25_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-script BM25 end-to-end: a ru-analyzed index over an inline
+    Cyrillic+latin corpus, searched with an INFLECTED Cyrillic query
+    ('лисы быстрые' — the postings hold the stems лис/быстр). Proves the
+    analyzer is threaded through build AND the script-aware query parse
+    (a ru term is invisible to the latin LogMill pre-tokenizer), with
+    rank order + scores hash-checked against a DuckDB twin that replays
+    the same analysis chain and BM25 formula. Reference:
+    TermAnalyzers.findAnalyzer + TermTokenizer.java:34-54."""
+    from miru_spark.index import InvertedIndex
+
+    df = spark.createDataFrame(
+        [(c, i, r, t, None, ts) for c, i, r, t, ts in _RU_ROWS],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts long",
+    )
+    idx = InvertedIndex.build(df, positions=False, analyzer="ru")
+    out = search(idx, "лисы AND быстрые", k=5)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _ft_bm25_ru_sql() -> str:
+    from miru_spark.analyzers import analyze_py, duckdb_analyze
+
+    stems = analyze_py("лисы быстрые", "ru")
+    values = ",\n    ".join(
+        f"('{c}', {i}, '{t}')" for c, i, _r, t, _ts in _RU_ROWS
+    )
+    arr = duckdb_analyze("text", "ru")
+    in_list = ", ".join(f"'{s}'" for s in stems)
+    return f"""
+WITH t(conv_id, turn_idx, text) AS (
+  VALUES
+    {values}
+),
+d AS (
+  SELECT t.*, (COALESCE(o.off, 0) + t.turn_idx)::BIGINT AS docint
+  FROM t
+  JOIN (
+    SELECT conv_id,
+           SUM(n) OVER (ORDER BY conv_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+    FROM (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY conv_id)
+  ) o USING (conv_id)
+),
+ana AS (
+  SELECT docint, conv_id, turn_idx, {arr} AS toks FROM d
+),
+dl AS (
+  SELECT docint, conv_id, turn_idx, len(toks)::INT AS doclen FROM ana
+),
+tok AS (
+  SELECT docint, unnest(toks) AS term FROM ana
+),
+post AS (
+  SELECT term, docint, COUNT(*)::INT AS tf FROM tok GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1
+),
+corpus AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, AVG(doclen) AS avgdl FROM dl
+),
+m AS (
+  SELECT docint FROM post WHERE term IN ({in_list})
+  GROUP BY 1 HAVING COUNT(DISTINCT term) = {len(stems)}
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ({in_list}) AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, m.docint,
+       ROUND(COALESCE(ct.score, 0), 4) AS score
+FROM m
+LEFT JOIN contrib ct USING (docint)
+JOIN dl ON dl.docint = m.docint
+ORDER BY COALESCE(ct.score, 0) DESC, m.docint DESC
+LIMIT 5
+"""
+
+
+_register("ft_bm25_ru", _q_ft_bm25_ru, _ft_bm25_ru_sql())

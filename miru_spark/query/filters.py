@@ -193,9 +193,10 @@ class FilterEvaluator:
             # (query/phrase.py; clear error if built without positions)
             from miru_spark.query.phrase import phrase_match_docs
 
-            return phrase_match_docs(
-                self.index, " ".join(node.values), slop=node.slop
-            )
+            # node.values are ALREADY analyzed by parse_query — pass
+            # the term sequence through (re-analysis is not idempotent
+            # and the latin-only re-tokenize dropped non-latin terms)
+            return phrase_match_docs(self.index, node.values, slop=node.slop)
         if isinstance(node, (Term, Prefix, Range, AuthzAny, Wildcard, Fuzzy, Regexp)):
             return self._meta_leaf(node)
         if isinstance(node, Or):

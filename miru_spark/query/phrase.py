@@ -24,8 +24,25 @@ from miru_spark.query.bm25 import bm25_contrib, idf_col
 from miru_spark.tokenize import tokenize_py
 
 
+def _phrase_terms(index: InvertedIndex, phrase) -> list[str]:
+    """A phrase arrives either as a raw string (public entry points —
+    analyze it with the INDEX's analyzer, not the latin-only LogMill
+    regex, or a ru/cjk phrase silently loses its terms) or as the
+    already-analyzed value tuple of a parsed ``Phrase`` node (the
+    filter evaluator) — analyzers are not idempotent, so never
+    re-analyze those."""
+    if not isinstance(phrase, str):
+        return list(phrase)
+    analyzer = getattr(index, "analyzer", "standard") or "standard"
+    if analyzer == "standard":
+        return tokenize_py(phrase)
+    from miru_spark.analyzers import analyze_py
+
+    return analyze_py(phrase, analyzer)
+
+
 def phrase_match_docs(
-    index: InvertedIndex, phrase: str, slop: int = 0
+    index: InvertedIndex, phrase, slop: int = 0
 ) -> DataFrame:
     """docints whose token stream contains the analyzed phrase.
 
@@ -41,7 +58,7 @@ def phrase_match_docs(
     within a window of ``len(terms) - 1 + slop`` positions, the
     ``"a b"~N`` query form) and routes to the greedy position-chain
     evaluator in :func:`proximity_match_docs`."""
-    terms = tokenize_py(phrase)
+    terms = _phrase_terms(index, phrase)
     if not terms:
         raise ValueError("phrase analyzes to no terms")
     if "positions" not in index.postings.columns:
@@ -152,8 +169,9 @@ def search_phrase(
 ) -> DataFrame:
     """Top-k BM25 over docs containing the phrase (``slop`` relaxes to
     ordered proximity, see :func:`phrase_match_docs`)."""
-    terms = sorted(set(tokenize_py(phrase)))
-    matched = phrase_match_docs(index, phrase, slop=slop)
+    seq = _phrase_terms(index, phrase)
+    terms = sorted(set(seq))
+    matched = phrase_match_docs(index, seq, slop=slop)
     qterms = F.broadcast(
         index.terms.where(F.col("term").isin(terms)).select(
             "term", idf_col(F.col("df"), index.n_docs).alias("idf")

@@ -146,3 +146,34 @@ def test_proximity_slop(spark):
     # slop parses; slop=0 suffix == bare phrase
     n = parse_query('"hash join"~2')
     assert n.slop == 2 and n.values == ("hash", "join")
+
+
+def test_nonlatin_phrase_through_analyzer(spark):
+    """A phrase on a ru-analyzed index must match through the analyzed
+    stems: Phrase values arrive pre-analyzed from parse_query and must
+    NOT be re-tokenized with the latin-only LogMill regex (which
+    silently dropped every non-latin term)."""
+    from miru_spark.index import InvertedIndex
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.phrase import phrase_match_docs
+
+    rows = [
+        ("c1", 0, "user", "Быстрые лисы используют spark запросы", None, 1),
+        # both stems present but in reverse order — exact and ordered
+        # proximity must both reject
+        ("c1", 1, "user", "лисы медленно но быстрые собаки", None, 2),
+        ("c2", 0, "user", "вчера быстрые лисы прыгали", None, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts long",
+    )
+    idx = InvertedIndex.build(df, positions=True, analyzer="ru")
+    hits = search(idx, '"быстрые лисы"', k=5)
+    assert {(r.conv_id, r.turn_idx) for r in hits.collect()} == {
+        ("c1", 0),
+        ("c2", 0),
+    }
+    # raw-string entry point analyzes with the index's analyzer too
+    assert phrase_match_docs(idx, "быстрые лисы").count() == 2
