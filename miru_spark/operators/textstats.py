@@ -5,6 +5,8 @@ oracle reproduces them exactly) and JVM-side (no Python in the path).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +46,45 @@ def token_counts(
     )
 
 
+def quality_feature_cols(low=None, toks=None, text_col: str = "text") -> dict:
+    """The per-row quality feature expressions, keyed by output name.
+
+    ``low``/``toks`` are the pre-materialized lowercased-text and
+    token-array columns (pass them when the caller already staged a
+    one-tokenize struct — the analyze_locale trick); defaults derive
+    both from ``text_col``. Exposed so the pipeline's quality gate can
+    apply the EXACT same arithmetic inline on the doc relation (a pure
+    per-row filter, no join) — see pipeline.prepare_training_data.
+    """
+    if low is None:
+        low = F.lower(F.col(text_col))
+    if toks is None:
+        toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_stop = _word_hits(low, STOPWORDS)
+    # alnum char count via translate-delete, NOT regexp_replace of the
+    # complement class: identical value (len - count of chars in the
+    # set), but the regex replace allocates per match and measured 31s
+    # vs 0.3s on a 250k-doc scan (BENCH/BASELINE.md)
+    _alnum_chars = "abcdefghijklmnopqrstuvwxyz0123456789' "
+    n_alnum = F.length(low) - F.length(F.translate(low, _alnum_chars, ""))
+    ttr = F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+    alnum_ratio = F.round(n_alnum / F.greatest(F.length(low), F.lit(1)), 4)
+    return {
+        "n_tokens": n_tok,
+        "ttr": ttr,
+        "stop_ratio": stop_ratio,
+        "alnum_ratio": alnum_ratio,
+        "avg_token_len": F.round(
+            F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1)), 4
+        ),
+        "quality": F.round(
+            (ttr + F.least(stop_ratio * 4, F.lit(1.0)) + alnum_ratio) / 3.0, 4
+        ),
+    }
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -68,42 +109,9 @@ def quality_scores(
         F.lower(F.col(text_col)).alias("_low"),
         F.struct(tokens_col(text_col).alias("t")).alias("_s"),
     )
-    t = F.col("_s.t")
-    n_tok = F.size(t)
-    n_stop = _word_hits(F.col("_low"), STOPWORDS)
-    # alnum char count via translate-delete, NOT regexp_replace of the
-    # complement class: identical value (len - count of chars in the
-    # set), but the regex replace allocates per match and measured 31s
-    # vs 0.3s on a 250k-doc scan (BENCH/BASELINE.md)
-    _alnum_chars = "abcdefghijklmnopqrstuvwxyz0123456789' "
-    n_alnum = F.length("_low") - F.length(
-        F.translate(F.col("_low"), _alnum_chars, "")
-    )
-    out = base.select(
-        "id",
-        n_tok.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(t)) / F.greatest(n_tok, F.lit(1)), 4).alias(
-            "ttr"
-        ),
-        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stop_ratio"),
-        F.round(n_alnum / F.greatest(F.length("_low"), F.lit(1)), 4).alias(
-            "alnum_ratio"
-        ),
-        F.round(
-            (F.length(F.array_join(t, "")) / F.greatest(n_tok, F.lit(1))), 4
-        ).alias("avg_token_len"),
-    )
-    return out.withColumn(
-        "quality",
-        F.round(
-            (
-                F.col("ttr")
-                + F.least(F.col("stop_ratio") * 4, F.lit(1.0))
-                + F.col("alnum_ratio")
-            )
-            / 3.0,
-            4,
-        ),
+    feats = quality_feature_cols(low=F.col("_low"), toks=F.col("_s.t"))
+    return base.select(
+        "id", *[expr.alias(name) for name, expr in feats.items()]
     )
 
 
@@ -160,6 +168,108 @@ def doc_fingerprints(
         F.md5(norm).alias("fp_md5"),
         md5_long(norm).alias("fp_long"),
     )
+
+
+def gram_stats_udf(n: int):
+    """Arrow-batched pandas UDF: ``tokens array<string> -> struct<
+    n_ngrams int, n_distinct int>`` — per-doc total and distinct token
+    ``n``-gram counts, computed entirely within the row's own tokens.
+
+    This is the scale-correct plan for PER-DOC gram statistics: the
+    distributed path (posexplode -> window -> groupBy(id, gram) ->
+    groupBy(id)) shuffles the whole exploded token stream ~3x to
+    compute a number that never leaves its row. Per batch it is exact
+    (no hashing): tokens are integer-coded with one ``pd.factorize``
+    over the batch's flat token stream, gram rows are (doc, c0..cn-1)
+    int64 tuples, and distinct counts come from ``np.unique`` over a
+    void view of the contiguous tuple matrix — injective, so
+    collision-free, unlike the xxhash64 path the corpus-df variant
+    uses. Measured at 1M docs (BENCH/BASELINE.md): the quality gate
+    drops from 207 s (shuffled) to seconds.
+    """
+
+    @F.pandas_udf("struct<n_ngrams:int,n_distinct:int>")
+    def stats(tok: pd.Series) -> pd.DataFrame:
+        vals = [v if v is not None else [] for v in tok]
+        counts = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+        total = np.maximum(counts - (n - 1), 0)
+        out = pd.DataFrame(
+            {
+                "n_ngrams": total.astype(np.int32),
+                "n_distinct": np.zeros(len(vals), dtype=np.int32),
+            }
+        )
+        n_grams = int(total.sum())
+        if n_grams == 0:
+            return out
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in vals])
+        codes, _ = pd.factorize(flat)
+        offs = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # flat index of each gram's first token: doc start + local pos
+        gram_offs = np.concatenate(([0], np.cumsum(total)[:-1]))
+        local_j = np.arange(n_grams, dtype=np.int64) - np.repeat(
+            gram_offs, total
+        )
+        starts = np.repeat(offs[:-1], total) + local_j
+        mat = np.empty((n_grams, n + 1), dtype=np.int64)
+        mat[:, 0] = np.repeat(np.arange(len(vals)), total)
+        for i in range(n):
+            mat[:, i + 1] = codes[starts + i]
+        void = np.ascontiguousarray(mat).view(
+            np.dtype((np.void, mat.dtype.itemsize * (n + 1)))
+        )
+        uniq = np.unique(void)
+        urows = uniq.view(np.int64).reshape(-1, n + 1)[:, 0]
+        out["n_distinct"] = np.bincount(
+            urows, minlength=len(vals)
+        ).astype(np.int32)
+        return out
+
+    return stats
+
+
+def quality_gate(
+    docs: DataFrame,
+    quality_min: float = 0.3,
+    rep_max: float = 0.5,
+    rep_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The training pipeline's stage-1 gate as ONE narrow per-row
+    filter over the corpus scan — no shuffle, no join: drop docs whose
+    composite quality (``quality_feature_cols``, inline codegen'd
+    expressions) is below ``quality_min`` or whose duplicate-``rep_n``-
+    gram repetition ratio (``gram_stats_udf``, Arrow-batched per-row
+    counts, ratio + rounding JVM-side) exceeds ``rep_max``. Catalyst
+    pushes the deterministic quality predicate below the Arrow UDF, so
+    the Python stage only sees quality survivors. Returns ``docs``'s
+    own columns, untouched.
+
+    Every gate signal is a function of the row's own text; the prior
+    shape (score relations + two left_semi joins back) shuffled the
+    exploded token stream 3x plus the doc relation 2x — 207 s of the
+    348 s 1M-doc soak — for numbers that never needed to leave their
+    row (BENCH/BASELINE.md).
+    """
+    toks = F.struct(tokens_col(text_col).alias("t"))
+    staged = docs.select(
+        "*",
+        F.lower(F.col(text_col)).alias("_low"),
+        toks.alias("_s"),
+        gram_stats_udf(rep_n)(toks["t"]).alias("_g"),
+    )
+    q = quality_feature_cols(low=F.col("_low"), toks=F.col("_s.t"))["quality"]
+    rep = F.when(
+        F.col("_g.n_ngrams") > 0,
+        F.round(
+            1.0 - F.col("_g.n_distinct") / F.col("_g.n_ngrams").cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.where(
+        (q >= F.lit(quality_min)) & (rep <= F.lit(rep_max))
+    ).select(*docs.columns)
 
 
 def _doc_ngrams(
@@ -336,10 +446,33 @@ def ngram_repetition(
     one occurrence; far below any quality threshold's margin.
 
     ``cross_dup=False`` (the pipeline's quality gate needs only
-    ``rep_ratio``) skips the corpus-df aggregate and its join back —
-    the per-doc stats come from one shuffle of distinct (id, hash)
-    pairs — and omits the ``cross_dup_frac`` column.
+    ``rep_ratio``) omits the ``cross_dup_frac`` column and switches to
+    a SHUFFLE-FREE per-row plan: without the corpus-df signal every
+    output is a function of the row's own tokens, so the stats come
+    from one Arrow-batched pandas UDF (:func:`gram_stats_udf`) instead
+    of shuffling the exploded token stream three times. Values are
+    bit-identical (exact integer counts either way; the ratio and its
+    rounding stay JVM-side in the same expression).
     """
+    if not cross_dup:
+        gs = gram_stats_udf(n)(tokens_col(text_col))
+        st = docs.select(F.col(id_col).alias("id"), gs.alias("_g"))
+        return st.select(
+            "id",
+            F.col("_g.n_ngrams").alias("n_ngrams"),
+            F.col("_g.n_distinct").alias("n_distinct"),
+            F.when(
+                F.col("_g.n_ngrams") > 0,
+                F.round(
+                    1.0
+                    - F.col("_g.n_distinct")
+                    / F.col("_g.n_ngrams").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
     exploded = _doc_ngrams(docs, n, id_col, text_col)
     base = docs.select(F.col(id_col).alias("id"))
     # pre-aggregate to distinct (id, gram) with occurrence counts: after
@@ -349,24 +482,18 @@ def ngram_repetition(
     per = exploded.select("id", F.xxhash64("gram").alias("g")).groupBy(
         "id", "g"
     ).agg(F.count(F.lit(1)).alias("occ"))
-    if cross_dup:
-        gdf = per.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-        per_doc = (
-            per.join(gdf, "g")
-            .groupBy("id")
-            .agg(
-                F.sum("occ").alias("n_ngrams"),
-                F.count(F.lit(1)).alias("n_distinct"),
-                F.sum(
-                    F.when(F.col("gdf") > 1, F.col("occ")).otherwise(0)
-                ).alias("n_crossdup"),
-            )
-        )
-    else:
-        per_doc = per.groupBy("id").agg(
+    gdf = per.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    per_doc = (
+        per.join(gdf, "g")
+        .groupBy("id")
+        .agg(
             F.sum("occ").alias("n_ngrams"),
             F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("gdf") > 1, F.col("occ")).otherwise(0)
+            ).alias("n_crossdup"),
         )
+    )
     cols = [
         F.coalesce("n_ngrams", F.lit(0)).cast("int").alias("n_ngrams"),
         F.coalesce("n_distinct", F.lit(0)).cast("int").alias("n_distinct"),
@@ -378,16 +505,13 @@ def ngram_repetition(
         )
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
-    ]
-    if cross_dup:
-        cols.append(
-            F.when(
-                F.col("n_ngrams") > 0,
-                F.round(F.col("n_crossdup") / F.col("n_ngrams").cast("double"), 4),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("cross_dup_frac")
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("n_crossdup") / F.col("n_ngrams").cast("double"), 4),
         )
+        .otherwise(F.lit(0.0))
+        .alias("cross_dup_frac"),
+    ]
     return base.select("id").join(per_doc, "id", "left").select("id", *cols)
 
 

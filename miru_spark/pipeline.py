@@ -4,8 +4,10 @@ Chains the corpus-preparation operators into the job a 100 TB
 pretraining pipeline actually runs, in the canonical order:
 
 1. **Quality gate** — drop docs below a composite quality floor
-   (``textstats.quality_scores``) or above a duplicate-n-gram
-   repetition ceiling (``textstats.ngram_repetition``).
+   (the ``textstats.quality_feature_cols`` expressions, inline) or
+   above a duplicate-n-gram repetition ceiling (the per-row
+   ``textstats.gram_stats_udf`` Arrow UDF); a pure per-row filter on
+   the corpus scan, no shuffle.
 2. **Exact dedup** — one survivor (min id) per normalized-text
    fingerprint (``dedup.fingerprint``).
 3. **Near dedup** — n-gram Jaccard candidate pairs over the exact-level
@@ -78,11 +80,7 @@ def prepare_training_data(
     from miru_spark.operators.dedup import fingerprint, ngram_jaccard_pairs
     from miru_spark.operators.packing import pack_chunks
     from miru_spark.operators.sampling import hash_split
-    from miru_spark.operators.textstats import (
-        ngram_repetition,
-        quality_scores,
-        token_counts,
-    )
+    from miru_spark.operators.textstats import quality_gate, token_counts
 
     import time as _time
 
@@ -100,20 +98,10 @@ def prepare_training_data(
         metrics["docs_in"] = docs.count()
         _lap("read")
 
-    # 1. quality + repetition gates (semi-joins on the id — the doc
-    # relation passes through untouched, no wide columns duplicated)
-    good_q = (
-        quality_scores(docs, id_col, text_col)
-        .where(F.col("quality") >= quality_min)
-        .select(F.col("id").alias(id_col))
-    )
-    good_r = (
-        ngram_repetition(docs, 3, id_col, text_col, cross_dup=False)
-        .where(F.col("rep_ratio") <= rep_max)
-        .select(F.col("id").alias(id_col))
-    )
-    filtered = docs.join(good_q, id_col, "left_semi").join(
-        good_r, id_col, "left_semi"
+    # 1. quality + repetition gates — a pure per-row filter on the
+    # corpus scan, zero shuffles (see textstats.quality_gate)
+    filtered = quality_gate(
+        docs, quality_min, rep_max, rep_n=3, text_col=text_col
     )
     if cache_stages:
         filtered = filtered.persist()

@@ -339,6 +339,20 @@ def main() -> None:
             quality_scores(docs_tbl),
         )
     )
+    from miru_spark.operators.textstats import quality_gate
+
+    sections.append(
+        (
+            "Pipeline quality gate (stage 1, per-row filter)",
+            "ZERO shuffles, zero joins: scan -> codegen'd quality "
+            "filter -> ArrowEvalPython (per-row gram stats) -> rep "
+            "filter -> project. Catalyst pushes the deterministic "
+            "quality predicate below the Arrow UDF so Python only "
+            "sees quality survivors; the prior semi-join shape cost "
+            "207 s of the 348 s 1M-doc soak.",
+            quality_gate(docs_tbl, 0.47, 0.5),
+        )
+    )
     from miru_spark.streaming.delivery import match_subscriptions
 
     sections.append(
