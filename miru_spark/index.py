@@ -36,6 +36,36 @@ from miru_spark.indexing.build import (
 )
 
 
+def _bucketed_for_write(postings: DataFrame, n_buckets: int) -> DataFrame:
+    """Bucket postings by term hash and shape the write shuffle.
+
+    Repartitioning by ``bucket`` alone caps the segment write at
+    ``n_buckets`` tasks (and 32 keys hashed into 32 partitions leave
+    ~1/3 empty by collision) — a parallelism ceiling that becomes THE
+    build bottleneck at 10^12 turns. Salting the exchange with the
+    docint span (``docint >> 20``, same granularity as the block
+    builder's heavy-term salt) fans each bucket out across
+    one-million-doc ranges: a 10^9-doc corpus writes ~1000 tasks per
+    bucket, while any corpus under 2^20 docs has a single span and
+    keeps today's exact layout. Files stay (term, docint)-sorted within
+    themselves, so row-group min/max pruning on ``term`` is unchanged;
+    readers never assumed one file per bucket (parquet dirs merge).
+    """
+    from pyspark.sql import functions as F
+
+    from miru_spark.indexing.blocks import SPAN_BITS
+
+    return (
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("_span", F.shiftright(F.col("docint"), SPAN_BITS))
+        .repartition("bucket", "_span")
+        .drop("_span")
+        .sortWithinPartitions("bucket", "term", "docint")
+    )
+
+
 @dataclass
 class InvertedIndex:
     postings: DataFrame  # term, docint, tf [, positions]
@@ -118,11 +148,7 @@ class InvertedIndex:
         spark = self.postings.sparkSession
         fmt = resolve_format(spark, table_format)
         write_table(
-            self.postings.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-            )
-            .repartition("bucket")
-            .sortWithinPartitions("term", "docint"),
+            _bucketed_for_write(self.postings, n_buckets),
             f"{path}/postings",
             partition_by=["bucket"],
             fmt=fmt,
@@ -187,11 +213,7 @@ class InvertedIndex:
             else postings_flat(base, positions=positions, analyzer=analyzer)
         )
         write_table(
-            flat.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-            )
-            .repartition("bucket")
-            .sortWithinPartitions("term", "docint"),
+            _bucketed_for_write(flat, n_buckets),
             f"{path}/postings",
             partition_by=["bucket"],
             fmt=fmt,

@@ -57,7 +57,9 @@ def _varint_lengths(v: np.ndarray) -> np.ndarray:
     return np.maximum((nbits + 6) // 7, 1)
 
 
-def encode_group_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def encode_group_frame(
+    pdf: pd.DataFrame, avgdl: float, block_bits: int = BLOCK_BITS
+) -> pd.DataFrame:
     """Encode a sorted (term, docint) frame into one block row per
     (term, block_id) group — fully vectorized."""
     if len(pdf) == 0:
@@ -80,7 +82,7 @@ def encode_group_frame(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     docs = pdf["docint"].to_numpy(np.int64)
     tfs = pdf["tf"].to_numpy(np.int64)
     dls = pdf["doclen"].to_numpy(np.float64)
-    bids = docs >> BLOCK_BITS
+    bids = docs >> block_bits
 
     new_group = np.ones(len(pdf), dtype=bool)
     new_group[1:] = (terms[1:] != terms[:-1]) | (bids[1:] != bids[:-1])
@@ -140,6 +142,8 @@ def build_blocks(
     flat: DataFrame,
     avgdl: float,
     n_partitions: int | None = None,
+    block_bits: int = BLOCK_BITS,
+    span_bits: int = SPAN_BITS,
 ) -> DataFrame:
     """flat postings ``(term, docint, tf, doclen)`` → block rows.
 
@@ -152,10 +156,17 @@ def build_blocks(
     (its rows share the coarser 2^20 span), so no group is ever split.
     Groups split across *Arrow batches* are handled by a carry buffer —
     a group is ≤ 2^13 rows by construction, so the carry is bounded.
+
+    ``block_bits``/``span_bits`` (span_bits > block_bits required, else
+    a block range could straddle two partitions) exist so tests and the
+    skew harness can exercise the salt at small docint ranges; prod
+    callers use the module defaults.
     """
+    if span_bits <= block_bits:
+        raise ValueError("span_bits must exceed block_bits (no split groups)")
     cols = ["term", "docint", "tf", "doclen"]
     rep = flat.select(*cols).withColumn(
-        "_span", F.shiftright(F.col("docint"), SPAN_BITS)
+        "_span", F.shiftright(F.col("docint"), span_bits)
     )
     rep = (
         rep.repartition(n_partitions, "term", "_span")
@@ -165,6 +176,7 @@ def build_blocks(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         avg = avgdl
+        bbits = block_bits
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None and len(carry):
@@ -172,7 +184,7 @@ def build_blocks(
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy()
-            bids = pdf["docint"].to_numpy(np.int64) >> BLOCK_BITS
+            bids = pdf["docint"].to_numpy(np.int64) >> bbits
             last_term, last_bid = terms[-1], bids[-1]
             in_last = (terms == last_term) & (bids == last_bid)
             # trailing run of the final group (sorted ⇒ contiguous at end)
@@ -180,8 +192,8 @@ def build_blocks(
             carry = pdf.iloc[split:]
             body = pdf.iloc[:split]
             if len(body):
-                yield encode_group_frame(body, avg)
+                yield encode_group_frame(body, avg, bbits)
         if carry is not None and len(carry):
-            yield encode_group_frame(carry, avg)
+            yield encode_group_frame(carry, avg, bbits)
 
     return rep.mapInPandas(encode, schema=BLOCKS_SCHEMA)
