@@ -50,17 +50,29 @@ def _bucketed_for_write(postings: DataFrame, n_buckets: int) -> DataFrame:
     keeps today's exact layout. Files stay (term, docint)-sorted within
     themselves, so row-group min/max pruning on ``term`` is unchanged;
     readers never assumed one file per bucket (parquet dirs merge).
+
+    The exchange's partition COUNT is floored at ``4 * n_buckets``:
+    when the distinct-key count (buckets × spans) is near the partition
+    count, hashing goes multinomial — measured on this harness,
+    ``hash(bucket, span=0)`` packed 9 of 32 keys into one of 8
+    partitions and the straggler cost 1.7× build wall time. With ≥4
+    partitions per key, each task holds ≤2-3 keys and dynamic task
+    scheduling levels the cores; non-empty partitions ≈ distinct keys,
+    so the small-corpus file layout (one file per bucket) is unchanged.
+    At production shuffle.partitions (≫128) the floor is a no-op.
     """
     from pyspark.sql import functions as F
 
     from miru_spark.indexing.blocks import SPAN_BITS
 
+    spark = postings.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 4 * n_buckets)
     return (
         postings.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         .withColumn("_span", F.shiftright(F.col("docint"), SPAN_BITS))
-        .repartition("bucket", "_span")
+        .repartition(n_part, "bucket", "_span")
         .drop("_span")
         .sortWithinPartitions("bucket", "term", "docint")
     )

@@ -101,11 +101,19 @@ def postings_flat_pandas(
     all — each input partition maps 1:1 to posting rows (the downstream
     bucket-partitioning is the only exchange). This is the preferred
     path when positions are wanted: collect_list+sort_array on 10^7
-    exploded tokens costs ~6x more than the in-UDF Counter.
+    exploded tokens costs ~6x more than aggregating in the UDF.
+
+    The aggregation is batch-vectorized: tokenization is the only
+    per-row step (regex, C inside ``re``); grouping into (docint, term)
+    postings runs over the whole Arrow batch at once — ``pd.factorize``
+    codes the token stream, one stable argsort on the composite
+    (row, code) key clusters each posting's occurrences with positions
+    already ascending, and boundary detection yields tf/positions with
+    no Python-level per-token work.
     """
-    from collections import defaultdict
     from typing import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from miru_spark.analyzers import analyze_py
@@ -114,34 +122,59 @@ def postings_flat_pandas(
     an = analyzer
 
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty_cols = {
+            "term": pd.Series(dtype=object),
+            "docint": pd.Series(dtype=np.int64),
+            "tf": pd.Series(dtype=np.int32),
+            "doclen": pd.Series(dtype=np.int32),
+        }
         for pdf in batches:
-            out_doc: list[int] = []
-            out_term: list[str] = []
-            out_tf: list[int] = []
-            out_pos: list[list[int]] = []
-            out_dl: list[int] = []
-            for docint, text in zip(pdf["docint"], pdf["text"]):
-                if not text:
-                    continue
-                toks = analyze_py(text, an)
-                acc: dict[str, list[int]] = defaultdict(list)
-                for i, t in enumerate(toks):
-                    acc[t].append(i)
-                for t, ps in acc.items():
-                    out_doc.append(docint)
-                    out_term.append(t)
-                    out_tf.append(len(ps))
-                    out_dl.append(len(toks))
-                    if want_pos:
-                        out_pos.append(ps)
+            tok_lists = [
+                analyze_py(t, an) if isinstance(t, str) and t else []
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                out = dict(empty_cols)
+                if want_pos:
+                    out["positions"] = pd.Series(dtype=object)
+                yield pd.DataFrame(out)
+                continue
+            docints = pdf["docint"].to_numpy(np.int64)
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for ts in tok_lists:
+                if ts:
+                    flat[off : off + len(ts)] = ts
+                    off += len(ts)
+            row_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+            offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+            codes, uniq = pd.factorize(flat)
+            uniq = np.asarray(uniq, dtype=object)
+            # one posting group per distinct (row, token-code); stable
+            # sort keeps in-row order, so positions come out ascending
+            key = row_idx * len(uniq) + codes
+            order = np.argsort(key, kind="stable")
+            k_sorted = key[order]
+            new_grp = np.ones(total, dtype=bool)
+            new_grp[1:] = k_sorted[1:] != k_sorted[:-1]
+            starts = np.nonzero(new_grp)[0]
+            ends = np.concatenate((starts[1:], [total]))
+            g_row = row_idx[order[starts]]
             cols = {
-                "term": out_term,
-                "docint": out_doc,
-                "tf": out_tf,
-                "doclen": out_dl,
+                "term": uniq[codes[order[starts]]],
+                "docint": docints[g_row],
+                "tf": (ends - starts).astype(np.int32),
+                "doclen": lens[g_row].astype(np.int32),
             }
             if want_pos:
-                cols["positions"] = out_pos
+                pos_sorted = pos[order].astype(np.int32)
+                cols["positions"] = np.split(pos_sorted, starts[1:])
             yield pd.DataFrame(cols)
 
     schema = "term string, docint long, tf int, doclen int" + (

@@ -309,8 +309,13 @@ class LshIndex:
         import os
 
         (
-            self.assignments.repartition("table")
-            .sortWithinPartitions("bucket")
+            # key the write shuffle on (table, bucket), not table alone:
+            # n_tables distinct keys would cap the write at n_tables
+            # tasks at any corpus size (the same ceiling fixed in
+            # index.py's segment write); bucket fans it out while
+            # partitionBy still groups files per table directory
+            self.assignments.repartition("table", "bucket")
+            .sortWithinPartitions("table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table")
             .parquet(f"{path}/assignments")
@@ -548,7 +553,19 @@ class IvfIndex:
         import os
 
         (
-            self.assignments.repartition("list")
+            # salt the write key for the same reason as the LSH table
+            # save: n_lists alone caps write parallelism. The salt is
+            # BOUNDED (8 sub-splits per list), not vec_id itself — a
+            # near-unique key would scatter every list across every
+            # partition and partitionBy("list") would then emit
+            # partitions × lists files; bounded salt keeps files ≤ 8
+            # per list while lifting the task ceiling to 8 × n_lists
+            self.assignments.withColumn(
+                "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(8)).cast("int")
+            )
+            .repartition("list", "_salt")
+            .drop("_salt")
+            .sortWithinPartitions("list", "vec_id")
             .write.mode("overwrite")
             .partitionBy("list")
             .parquet(f"{path}/assignments")
