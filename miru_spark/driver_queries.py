@@ -744,6 +744,73 @@ ORDER BY ct.score DESC LIMIT 10
 )
 
 
+def _q_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a store compacted by the TIERED merge policy
+    (LogByteSizeMergePolicy semantics; the reference throttles its
+    delta→chunk merge the same way via chits, MiruMergeChits.java:23-64):
+    build + three sip-appends leave four units per shard, then
+    ``compact(merge_factor=2)`` pair-merges them PARTIALLY into
+    ``merged_{lo}_{hi}`` spans — never a full-shard rewrite, so write
+    amplification stays O(log n) per posting at 10^12 turns. The
+    partial-merge physical layout must be invisible to serving: the
+    oracle is the plain full-corpus SQL. Query terms differ from the
+    other store rows so this row is independent signal."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+
+    key = f"{id(spark)}:{sf_dir}:tiered"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark, tempfile.mkdtemp(prefix="miru_tier_"), n_shards=2
+        )
+        store.build(turns.where(F.col("conv_id") < "conv00000025"))
+        store.append(turns.where(F.col("conv_id") < "conv00000050"))
+        store.append(turns.where(F.col("conv_id") < "conv00000075"))
+        store.append(turns)
+        n_merges = store.compact(merge_factor=2, min_bytes=1 << 30)
+        assert n_merges >= 2, "tiered compaction did not run"
+        tiered_live = [
+            u for u in store.live_units()
+            if u.rsplit("/", 1)[-1].count("_") == 2
+        ]
+        assert tiered_live, "expected partial merged_{lo}_{hi} units"
+        idx = store.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "scan AND vector", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_register(
+    "ft_bm25_tiered",
+    _q_tiered,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('scan','vector')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('scan','vector') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
+
+
 # -- index-build artifacts (SURVEY.md §2.2) ----------------------------------
 
 

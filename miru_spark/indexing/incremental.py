@@ -480,6 +480,18 @@ class SegmentStore:
             return
         if len(units) <= 1:
             return  # nothing to merge
+        self._commit_merge(shard, st, units, merged_name)
+
+    def _commit_merge(
+        self, shard: int, st: dict, units: list[str], merged_name: str
+    ) -> None:
+        """Write the union of ``units`` as one sorted segment, commit it
+        as ``merged_name`` via a single rename, manifest it, delete the
+        sources. Shared by the full merge (:meth:`merge_shard`) and the
+        tiered partial merge (:meth:`merge_units`)."""
+        import shutil
+
+        sdir = os.path.join(self.path, f"shard={shard}")
         paths = [os.path.join(sdir, n) for n in units]
         merged_tmp = os.path.join(sdir, "_merged_tmp")
         shutil.rmtree(merged_tmp, ignore_errors=True)
@@ -490,9 +502,9 @@ class SegmentStore:
             .write.mode("overwrite")
             .parquet(f"{merged_tmp}/postings")
         )
-        self.spark.read.parquet(*[f"{p}/docs" for p in paths]).write.mode(
-            "overwrite"
-        ).parquet(f"{merged_tmp}/docs")
+        self.spark.read.option("mergeSchema", "true").parquet(
+            *[f"{p}/docs" for p in paths]
+        ).write.mode("overwrite").parquet(f"{merged_tmp}/docs")
         term_stats(
             self.spark.read.parquet(f"{merged_tmp}/postings").select(
                 "term", "docint", "tf"
@@ -500,10 +512,125 @@ class SegmentStore:
         ).write.mode("overwrite").parquet(f"{merged_tmp}/terms")
         if self.blocks:
             self._write_blocks(merged_tmp)
-        os.rename(merged_tmp, merged_final)  # commit point
+        os.rename(merged_tmp, os.path.join(sdir, merged_name))  # commit point
         self._append_manifest({**st, "merged_from": units, "files": ["merged"]})
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
+
+    def merge_units(self, shard: int, units: list[str]) -> None:
+        """Tiered PARTIAL merge: compact a contiguous run of ≥ 2 live
+        units into one ``merged_{lo}_{hi}`` segment (span = the union of
+        the sources' spans), leaving the shard's other units untouched.
+
+        The full merge rewrites the whole shard every time — O(n²/k)
+        total bytes written over n appends. Real engines bound write
+        amplification with a tiered policy instead (Lucene
+        ``LogByteSizeMergePolicy``; the reference throttles the same
+        delta→chunk merge by chits, ``MiruMergeChits.java:23-64``):
+        only similarly-sized neighbours merge, so each posting is
+        rewritten O(log n) times. Crash-atomic exactly like
+        :meth:`merge_shard`: fully written under ``_merged_tmp``,
+        committed by one rename, manifest appended, sources deleted
+        last; a crash in any window leaves the store loadable (the
+        committed unit's span strictly contains each source's, so
+        span-containment liveness drops stale sources)."""
+        if len(units) < 2:
+            raise ValueError("tiered merge needs >= 2 units")
+        spans = [self._unit_span(n) for n in units]
+        if sorted(spans) != spans:
+            raise ValueError(f"units not span-sorted: {units}")
+        for (_, h1), (l2, _) in zip(spans, spans[1:]):
+            if l2 != h1 + 1:
+                raise ValueError(f"units not contiguous: {units}")
+        lo, hi = spans[0][0], spans[-1][1]
+        st = self.shard_state().get(shard)
+        if st is None:
+            return
+        merged_name = f"merged_{lo:04d}_{hi:04d}"
+        sdir = os.path.join(self.path, f"shard={shard}")
+        if os.path.isdir(os.path.join(sdir, merged_name)):
+            # already committed (possibly by a crashed run): clear the
+            # stale sources the span-containment rule supersedes
+            import shutil
+
+            live = set(self._live_shard_units(shard))
+            for n in os.listdir(sdir):
+                stale = (
+                    n.startswith(("delta_", "merged_")) and n not in live
+                ) or n == "_merged_tmp"
+                if stale:
+                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            return
+        live = self._live_shard_units(shard)
+        for n in units:
+            if n not in live:
+                raise ValueError(f"{n} is not a live unit of shard {shard}")
+        # contiguity within the LIVE sequence too: no live unit may sit
+        # inside the merged span without being a source
+        for n in live:
+            l2, h2 = self._unit_span(n)
+            if n not in units and not (h2 < lo or l2 > hi):
+                raise ValueError(f"live unit {n} overlaps merge span")
+        self._commit_merge(shard, st, units, merged_name)
+
+    def _unit_bytes(self, shard: int, name: str) -> int:
+        total = 0
+        for root, _, files in os.walk(
+            os.path.join(self.path, f"shard={shard}", name)
+        ):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def plan_merges(
+        self,
+        shard: int,
+        merge_factor: int = 10,
+        min_bytes: int = 1 << 20,
+    ) -> list[list[str]]:
+        """Log-size-tiered merge plan over one shard's live units
+        (Lucene ``LogByteSizeMergePolicy`` semantics): each unit's
+        level = floor(log_mf(max(bytes, min_bytes))), and any run of
+        ``merge_factor`` CONSECUTIVE units at the same level merges.
+        Geometric levels mean a unit participates in at most one merge
+        per level it climbs — O(log_mf n) rewrites per posting over the
+        store's lifetime, vs O(n) for always-full-merge. ``min_bytes``
+        floors the level so tiny deltas (the common sip-append case)
+        all land in tier 0 and merge promptly."""
+        import math
+
+        live = self._live_shard_units(shard)
+        levels = [
+            int(
+                math.log(max(self._unit_bytes(shard, n), min_bytes))
+                / math.log(merge_factor)
+            )
+            for n in live
+        ]
+        plans, run = [], [0]
+        for i in range(1, len(live) + 1):
+            if i < len(live) and levels[i] == levels[run[0]]:
+                run.append(i)
+                continue
+            while len(run) >= merge_factor:
+                plans.append([live[j] for j in run[:merge_factor]])
+                run = run[merge_factor:]
+            run = [i]
+        return plans
+
+    def compact(
+        self, merge_factor: int = 10, min_bytes: int = 1 << 20
+    ) -> int:
+        """Run one round of tiered compaction across every shard;
+        returns the number of merges executed. Idempotent and safe to
+        run on any schedule (the reference's chit-based background
+        merger); repeated calls converge because each merge promotes
+        its output at least one level."""
+        n = 0
+        for s in range(self.n_shards):
+            for units in self.plan_merges(s, merge_factor, min_bytes):
+                self.merge_units(s, units)
+                n += 1
+        return n
 
     def expunge_shard(self, shard: int, drop: DataFrame) -> None:
         """Physically remove tombstoned docs from one shard — Lucene
@@ -691,26 +818,59 @@ class SegmentStore:
     def _unit_index(name: str) -> int:
         return int(name.rsplit("_", 1)[1])
 
+    @staticmethod
+    def _unit_span(name: str) -> tuple[int, int]:
+        """Inclusive delta-index range a unit covers.
+
+        - ``delta_{d}`` covers [d, d];
+        - ``merged_{d}`` (full merge / expunge — legacy single-index
+          name) covers [0, d]: both always merge EVERY live unit at or
+          below d;
+        - ``merged_{lo}_{hi}`` (tiered partial merge) covers [lo, hi].
+        """
+        parts = name.split("_")
+        if name.startswith("delta_"):
+            d = int(parts[1])
+            return (d, d)
+        if len(parts) == 2:
+            return (0, int(parts[1]))
+        return (int(parts[1]), int(parts[2]))
+
     def _live_shard_units(self, shard: int) -> list[str]:
-        """Unit dir NAMES for one shard. The newest ``merged_*`` unit
-        supersedes every unit at or below its index (they are its merge
-        sources — possibly stale leftovers of a crashed cleanup)."""
+        """Unit dir NAMES for one shard, chronological by span start.
+
+        Liveness is span containment: a unit is superseded iff another
+        unit's span strictly contains its own (the container is the
+        merge that consumed it — possibly a stale leftover of a crashed
+        cleanup). Full merges / expunges (span [0, d]) therefore
+        supersede everything at or below d, exactly the pre-tiered
+        rule; tiered units supersede only their own contiguous run.
+        Equal spans cannot arise from any commit path (every merge has
+        ≥ 2 sources, so its span strictly contains each source's); the
+        name tie-break is a deterministic belt-and-braces only."""
         sdir = os.path.join(self.path, f"shard={shard}")
         if not os.path.isdir(sdir):
             return []
         names = [
             d for d in os.listdir(sdir) if d.startswith(("delta_", "merged_"))
         ]
-        merged = [n for n in names if n.startswith("merged_")]
-        if merged:
-            top = max(merged, key=self._unit_index)
-            top_i = self._unit_index(top)
-            names = [top] + [
-                n
-                for n in names
-                if n.startswith("delta_") and self._unit_index(n) > top_i
-            ]
-        return sorted(names, key=self._unit_index)
+        spans = {n: self._unit_span(n) for n in names}
+
+        def superseded(n: str) -> bool:
+            lo, hi = spans[n]
+            for m, (l2, h2) in spans.items():
+                if m == n:
+                    continue
+                if l2 <= lo and hi <= h2 and (l2, h2) != (lo, hi):
+                    return True
+                if (l2, h2) == (lo, hi) and m > n:
+                    return True
+            return False
+
+        return sorted(
+            (n for n in names if not superseded(n)),
+            key=lambda n: spans[n],
+        )
 
     def live_units(self) -> list[str]:
         out = []
@@ -745,30 +905,26 @@ class SegmentStore:
         for s, deltas in sorted(want.items()):
             dk = max(deltas)
             names = self._live_shard_units(s)
-            merged = [n for n in names if n.startswith("merged_")]
-            m = self._unit_index(merged[0]) if merged else -1
-            if m > dk:
-                raise SnapshotExpiredError(
-                    f"shard {s}: merged_{m:04d} supersedes snapshot delta "
-                    f"{dk} (snapshot expired by compaction)"
-                )
-            have = {
-                self._unit_index(n) for n in names if n.startswith("delta_")
-            }
-            chosen = list(merged)
-            for d in sorted(deltas):
-                if d <= m:
-                    continue  # inside the merged unit
-                if d not in have:
+            chosen, covered = [], set()
+            for n in names:
+                lo, hi = self._unit_span(n)
+                if hi <= dk:
+                    chosen.append(n)
+                    covered.update(range(lo, hi + 1))
+                elif lo <= dk:
+                    # a merge straddling the snapshot boundary has
+                    # irreversibly folded post-snapshot deltas in
+                    raise SnapshotExpiredError(
+                        f"shard {s}: {n} supersedes snapshot delta "
+                        f"{dk} (snapshot expired by compaction)"
+                    )
+            for d in deltas:
+                if d not in covered:
                     raise SnapshotExpiredError(
                         f"shard {s}: delta_{d:04d} no longer on disk"
                     )
-                chosen.append(f"delta_{d:04d}")
             sdir = os.path.join(self.path, f"shard={s}")
-            out.extend(
-                os.path.join(sdir, n)
-                for n in sorted(chosen, key=self._unit_index)
-            )
+            out.extend(os.path.join(sdir, n) for n in chosen)
         return out
 
     def load(self, as_of: int | None = None) -> InvertedIndex:
