@@ -445,7 +445,7 @@ class SegmentStore:
 
     # -- merge (compaction) ------------------------------------------------
 
-    def merge_shard(self, shard: int) -> None:
+    def merge_shard(self, shard: int, retain_sources: bool = False) -> None:
         """Compact all of a shard's live segments into one (delta→chunk
         merge, reference MiruPartitionAccessor.merge:362-387).
 
@@ -470,25 +470,32 @@ class SegmentStore:
         if os.path.isdir(merged_final):
             # merge already committed (possibly by a crashed run): clear
             # everything the live-unit rule supersedes and return.
-            live = set(self._live_shard_units(shard))
-            for n in os.listdir(sdir):
-                stale = (
-                    n.startswith(("delta_", "merged_")) and n not in live
-                ) or n == "_merged_tmp"
-                if stale:
-                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            if not retain_sources:
+                self.vacuum_shard(shard)
             return
         if len(units) <= 1:
             return  # nothing to merge
-        self._commit_merge(shard, st, units, merged_name)
+        self._commit_merge(shard, st, units, merged_name, retain_sources)
 
     def _commit_merge(
-        self, shard: int, st: dict, units: list[str], merged_name: str
+        self,
+        shard: int,
+        st: dict,
+        units: list[str],
+        merged_name: str,
+        retain_sources: bool = False,
     ) -> None:
         """Write the union of ``units`` as one sorted segment, commit it
         as ``merged_name`` via a single rename, manifest it, delete the
         sources. Shared by the full merge (:meth:`merge_shard`) and the
-        tiered partial merge (:meth:`merge_units`)."""
+        tiered partial merge (:meth:`merge_units`).
+
+        ``retain_sources=True`` keeps the superseded sources on disk
+        (span containment already makes them invisible to serving):
+        open readers holding pre-merge unit paths keep working, and
+        snapshot reads older than the merge stay reconstructable until
+        :meth:`vacuum` reclaims them — Iceberg's snapshot-retention /
+        ``expire_snapshots`` split, with vacuum as the expiry."""
         import shutil
 
         sdir = os.path.join(self.path, f"shard={shard}")
@@ -514,10 +521,13 @@ class SegmentStore:
             self._write_blocks(merged_tmp)
         os.rename(merged_tmp, os.path.join(sdir, merged_name))  # commit point
         self._append_manifest({**st, "merged_from": units, "files": ["merged"]})
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+        if not retain_sources:
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
 
-    def merge_units(self, shard: int, units: list[str]) -> None:
+    def merge_units(
+        self, shard: int, units: list[str], retain_sources: bool = False
+    ) -> None:
         """Tiered PARTIAL merge: compact a contiguous run of ≥ 2 live
         units into one ``merged_{lo}_{hi}`` segment (span = the union of
         the sources' spans), leaving the shard's other units untouched.
@@ -551,15 +561,8 @@ class SegmentStore:
         if os.path.isdir(os.path.join(sdir, merged_name)):
             # already committed (possibly by a crashed run): clear the
             # stale sources the span-containment rule supersedes
-            import shutil
-
-            live = set(self._live_shard_units(shard))
-            for n in os.listdir(sdir):
-                stale = (
-                    n.startswith(("delta_", "merged_")) and n not in live
-                ) or n == "_merged_tmp"
-                if stale:
-                    shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+            if not retain_sources:
+                self.vacuum_shard(shard)
             return
         live = self._live_shard_units(shard)
         for n in units:
@@ -571,7 +574,34 @@ class SegmentStore:
             l2, h2 = self._unit_span(n)
             if n not in units and not (h2 < lo or l2 > hi):
                 raise ValueError(f"live unit {n} overlaps merge span")
-        self._commit_merge(shard, st, units, merged_name)
+        self._commit_merge(shard, st, units, merged_name, retain_sources)
+
+    def vacuum_shard(self, shard: int) -> int:
+        """Delete every superseded (non-live) unit and tmp dir of one
+        shard; returns how many were removed. This is the expiry half
+        of Iceberg's retention contract: snapshots older than the
+        oldest surviving source become unreconstructable only HERE,
+        never at merge time (when ``retain_sources=True`` was used).
+        Also the shared sweeper for crashed-merge leftovers."""
+        import shutil
+
+        sdir = os.path.join(self.path, f"shard={shard}")
+        if not os.path.isdir(sdir):
+            return 0
+        live = set(self._live_shard_units(shard))
+        n = 0
+        for name in os.listdir(sdir):
+            stale = (
+                name.startswith(("delta_", "merged_")) and name not in live
+            ) or name in ("_merged_tmp", "_expunge_tmp")
+            if stale:
+                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+                n += 1
+        return n
+
+    def vacuum(self) -> int:
+        """Vacuum every shard; returns total units removed."""
+        return sum(self.vacuum_shard(s) for s in range(self.n_shards))
 
     def _unit_bytes(self, shard: int, name: str) -> int:
         total = 0
@@ -618,7 +648,10 @@ class SegmentStore:
         return plans
 
     def compact(
-        self, merge_factor: int = 10, min_bytes: int = 1 << 20
+        self,
+        merge_factor: int = 10,
+        min_bytes: int = 1 << 20,
+        retain_sources: bool = False,
     ) -> int:
         """Run one round of tiered compaction across every shard;
         returns the number of merges executed. Idempotent and safe to
@@ -628,7 +661,7 @@ class SegmentStore:
         n = 0
         for s in range(self.n_shards):
             for units in self.plan_merges(s, merge_factor, min_bytes):
-                self.merge_units(s, units)
+                self.merge_units(s, units, retain_sources)
                 n += 1
         return n
 
@@ -904,26 +937,39 @@ class SegmentStore:
         out = []
         for s, deltas in sorted(want.items()):
             dk = max(deltas)
-            names = self._live_shard_units(s)
-            chosen, covered = [], set()
-            for n in names:
-                lo, hi = self._unit_span(n)
-                if hi <= dk:
-                    chosen.append(n)
-                    covered.update(range(lo, hi + 1))
-                elif lo <= dk:
-                    # a merge straddling the snapshot boundary has
-                    # irreversibly folded post-snapshot deltas in
-                    raise SnapshotExpiredError(
-                        f"shard {s}: {n} supersedes snapshot delta "
-                        f"{dk} (snapshot expired by compaction)"
-                    )
-            for d in deltas:
-                if d not in covered:
-                    raise SnapshotExpiredError(
-                        f"shard {s}: delta_{d:04d} no longer on disk"
-                    )
             sdir = os.path.join(self.path, f"shard={s}")
+            names = (
+                [
+                    n
+                    for n in os.listdir(sdir)
+                    if n.startswith(("delta_", "merged_"))
+                ]
+                if os.path.isdir(sdir)
+                else []
+            )
+            # Greedy exact cover of the wanted (sequential) delta range
+            # by ON-DISK unit spans lying wholly inside the snapshot.
+            # Superseded sources a merge retained (retain_sources=True)
+            # are deliberately eligible: merges only union content, so
+            # any disjoint exact cover reconstructs the snapshot —
+            # snapshots survive compaction until vacuum() expires the
+            # sources (Iceberg retention/expire split). At each step
+            # take the widest span starting at the cursor (fewest
+            # files).
+            chosen, d = [], min(deltas)
+            while d <= dk:
+                best = None
+                for n in names:
+                    lo, hi = self._unit_span(n)
+                    if lo == d and hi <= dk and (best is None or hi > best[1]):
+                        best = (n, hi)
+                if best is None:
+                    raise SnapshotExpiredError(
+                        f"shard {s}: no on-disk unit covers delta "
+                        f"{d:04d} (snapshot expired by compaction/vacuum)"
+                    )
+                chosen.append(best[0])
+                d = best[1] + 1
             out.extend(os.path.join(sdir, n) for n in chosen)
         return out
 

@@ -167,6 +167,41 @@ def test_crash_leftover_source_is_ignored_and_cleaned(
     assert not os.path.isdir(os.path.join(sdir, "delta_0001"))
 
 
+def test_retained_sources_and_vacuum(spark, tiny_turns, tmp_path):
+    """retain_sources=True keeps superseded units on disk: open readers
+    and pre-merge snapshots keep working across compaction, and only
+    vacuum() (Iceberg expire_snapshots) makes them unreconstructable."""
+    store = SegmentStore(spark, str(tmp_path / "r"), n_shards=1)
+    store.build(tiny_turns.where("conv_id < 'conv00000025'"))
+    snap0 = store.snapshot_id()
+    n0 = store.load().n_docs
+    store.append(tiny_turns.where("conv_id < 'conv00000050'"))
+    store.append(tiny_turns)
+    reader = store.load()  # open searcher over pre-compaction units
+    n_total = reader.n_docs
+    pre_postings = reader.postings.count()
+
+    assert store.compact(
+        merge_factor=2, min_bytes=1 << 30, retain_sources=True
+    ) == 1
+    sdir = os.path.join(store.path, "shard=0")
+    assert os.path.isdir(os.path.join(sdir, "delta_0000"))  # retained
+    assert store._live_shard_units(0) == ["merged_0000_0001", "delta_0002"]
+    # the open reader's unit files are intact: lazy plans still execute
+    assert reader.postings.count() == pre_postings
+    # pre-merge snapshot reconstructs from the retained source
+    assert store.load(as_of=snap0).n_docs == n0
+    assert store.load().n_docs == n_total
+
+    # vacuum expires the retained sources; only then does the old
+    # snapshot die, and the live store is unaffected
+    assert store.vacuum() == 2  # delta_0000, delta_0001
+    assert not os.path.isdir(os.path.join(sdir, "delta_0000"))
+    with pytest.raises(SnapshotExpiredError):
+        store.load(as_of=snap0)
+    assert store.load().n_docs == n_total
+
+
 def test_snapshot_across_tiered_merges(spark, tiny_turns, tmp_path):
     """Time travel survives tiered merges whose spans sit inside the
     snapshot prefix, and expires (Iceberg expire_snapshots contract)
