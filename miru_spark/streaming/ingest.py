@@ -31,9 +31,21 @@ def stream_ingest(
     store: SegmentStore,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    merge_factor: int = 10,
 ):
     """Tail ``input_dir`` (parquet files of transcript turns) into the
-    segment store. Returns the StreamingQuery."""
+    segment store. Returns the StreamingQuery.
+
+    ``compact_every=N`` runs one round of tiered compaction
+    (``store.compact(merge_factor)``) after every N micro-batches — the
+    reference's background chit-throttled merger folded into the ingest
+    loop. A long-running sip otherwise accumulates one delta unit per
+    shard per batch, and serving cost grows with unit count; the tiered
+    policy bounds live units at O(merge_factor · log total) with
+    O(log) write amplification, so the tail can run forever. Compaction
+    is crash-atomic and idempotent, so a batch retry after a mid-compact
+    crash is safe (same guarantee as the append's watermark)."""
     src = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -43,6 +55,8 @@ def stream_ingest(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         rows = batch.dropDuplicates(["conv_id", "turn_idx"])
         store.append(rows)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            store.compact(merge_factor=merge_factor)
 
     writer = (
         src.writeStream.foreachBatch(sink)

@@ -52,6 +52,45 @@ def test_stream_ingest_matches_batch(
     assert any(e["delta"] > 0 for e in store.manifest())
 
 
+def test_stream_ingest_with_inline_compaction(
+    spark, tiny_turns, tiny_pdf, tmp_path
+):
+    """compact_every folds the tiered merger into the sip loop: a
+    long-running tail keeps live unit counts bounded instead of one
+    delta per shard per batch, and serving stays oracle-identical."""
+    src = str(tmp_path / "incoming_c")
+    ckpt = str(tmp_path / "ckpt_c")
+    store = SegmentStore(spark, str(tmp_path / "seg_c"), n_shards=2)
+
+    cuts = ["conv00000025", "conv00000050", "conv00000075", None]
+    lo = None
+    for hi in cuts:
+        chunk = tiny_turns
+        if lo is not None:
+            chunk = chunk.where(f"conv_id >= '{lo}'")
+        if hi is not None:
+            chunk = chunk.where(f"conv_id < '{hi}'")
+        _write_chunk(chunk, src)
+        q = stream_ingest(
+            spark, src, store, ckpt, compact_every=1, merge_factor=2
+        )
+        _drain(q)
+        lo = hi
+        # bounded: tiered merges keep every shard at <= 2 live units
+        for s in range(2):
+            assert len(store._live_shard_units(s)) <= 2
+
+    idx = store.load()
+    assert idx.n_docs == len(tiny_pdf)
+    # compaction actually ran: partial merged_{lo}_{hi} spans exist
+    assert any("merged_" in u.rsplit("/", 1)[-1] for u in store.live_units())
+    got = search(idx, "w00001 AND w00004", k=10).toPandas()
+    exp = PandasIndex(tiny_pdf).search("w00001 AND w00004", k=10)
+    assert sorted(round(s, 6) for s in got["score"]) == sorted(
+        round(s, 6) for s in exp["score"]
+    )
+
+
 def test_streaming_waveform_memory_sink(spark, tiny_turns, tmp_path):
     src = str(tmp_path / "wave_in")
     tiny_turns.limit(200).write.parquet(src)
