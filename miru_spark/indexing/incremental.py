@@ -652,18 +652,38 @@ class SegmentStore:
         merge_factor: int = 10,
         min_bytes: int = 1 << 20,
         retain_sources: bool = False,
+        max_concurrent: int = 1,
     ) -> int:
         """Run one round of tiered compaction across every shard;
         returns the number of merges executed. Idempotent and safe to
         run on any schedule (the reference's chit-based background
         merger); repeated calls converge because each merge promotes
-        its output at least one level."""
-        n = 0
-        for s in range(self.n_shards):
-            for units in self.plan_merges(s, merge_factor, min_bytes):
+        its output at least one level.
+
+        ``max_concurrent`` > 1 runs that many SHARDS' merge chains from
+        concurrent driver threads (same pattern as
+        ``build(max_concurrent)``): shards are disjoint directories and
+        manifest appends are lock-serialized, so shard-level
+        parallelism is safe; merges WITHIN a shard stay ordered because
+        later plans read the units earlier merges produce."""
+        plans = {
+            s: self.plan_merges(s, merge_factor, min_bytes)
+            for s in range(self.n_shards)
+        }
+
+        def one(s: int) -> int:
+            n = 0
+            for units in plans[s]:
                 self.merge_units(s, units, retain_sources)
                 n += 1
-        return n
+            return n
+
+        if max_concurrent <= 1:
+            return sum(one(s) for s in plans)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            return sum(pool.map(one, plans))
 
     def expunge_shard(self, shard: int, drop: DataFrame) -> None:
         """Physically remove tombstoned docs from one shard — Lucene

@@ -23,13 +23,17 @@ import sys
 WORKER = r"""
 import json, os, sys, tempfile, shutil, time
 sys.path.insert(0, {repo!r})
-cores = int(sys.argv[1]); n_convs = int(sys.argv[2])
+cores = int(sys.argv[1]); n_convs = int(sys.argv[2]); parts = int(sys.argv[3])
 from miru_spark.session import get_spark
 from miru_spark.transcripts import generate_transcripts
 from miru_spark.index import InvertedIndex
 from miru_spark.query.bm25 import search
 
-spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
+# shuffle partitions are sized by DATA, identical at both levels: a
+# 2-executor cluster still uses enough partitions to bound per-task
+# volume (conflating partition count with core count makes the small
+# level spill first and fakes superlinear scaling)
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=parts)
 # warmup (JIT) on a small corpus, same code paths
 warm = generate_transcripts(spark, n_convs=1500, max_turns=24, seed=7).persist()
 warm.count()
@@ -74,10 +78,10 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cores: int, n_convs: int) -> dict:
+def run_level(repo: str, cores: int, n_convs: int, parts: int) -> dict:
     code = WORKER.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_convs)],
+        [sys.executable, "-c", code, str(cores), str(n_convs), str(parts)],
         capture_output=True,
         text=True,
         timeout=1800,
@@ -93,6 +97,9 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=300_000)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
+    ap.add_argument("--parts", type=int, default=32,
+                    help="shuffle partitions, fixed across levels "
+                    "(data-sized, not core-sized)")
     ap.add_argument("--reps", type=int, default=2,
                     help="interleaved repetitions per level; per-level "
                     "best-of is reported (this sandbox shows ±40%% "
@@ -107,10 +114,10 @@ def main() -> None:
 
     small = big = None
     for _ in range(args.reps):
-        s = run_level(repo, args.small, n_convs)
+        s = run_level(repo, args.small, n_convs, args.parts)
         print(json.dumps(s))
         small = s if small is None else best(small, s)
-        b = run_level(repo, args.big, n_convs)
+        b = run_level(repo, args.big, n_convs, args.parts)
         print(json.dumps(b))
         big = b if big is None else best(big, b)
 
@@ -124,6 +131,7 @@ def main() -> None:
     adj_big = max(big["build_sec"] - big["floor_sec"], 0.001)
     adj_eff = (adj_small / adj_big) / factor
     result = {
+        "shuffle_partitions": args.parts,
         "small": small,
         "big": big,
         "speedup": round(ratio, 3),
