@@ -10,6 +10,15 @@ JVMs), as documented in BASELINE.md §3:
 Usage: python tools/bench_scaling.py [--turns 300000] [--small 8]
        [--big 32] [--out BENCH]
 Writes one JSON line per level to stdout and BENCH/scaling.json.
+
+``--weak`` switches to weak scaling (Gustafson): the big level gets
+core_factor× the corpus AND core_factor× the shuffle partitions, and
+efficiency = throughput_big / (factor × throughput_small). This is the
+operating regime the north rule actually targets — at 10^12 turns a
+cluster is grown WITH the data, never 4× the executors on a fixed toy
+corpus — and it amortizes the per-job scheduling floor the same way a
+real large job does. Strong scaling (fixed corpus, fixed partitions)
+remains the default; report both.
 """
 
 from __future__ import annotations
@@ -104,10 +113,17 @@ def main() -> None:
                     help="interleaved repetitions per level; per-level "
                     "best-of is reported (this sandbox shows ±40%% "
                     "slowdown-only noise between JVMs)")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: big level processes core_factor x "
+                    "the corpus with core_factor x the partitions; "
+                    "efficiency = tp_big / (factor x tp_small)")
     ap.add_argument("--out", default="BENCH")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_convs = max(args.turns // 12, 1)
+    factor_i = args.big // args.small
+    big_convs = n_convs * factor_i if args.weak else n_convs
+    big_parts = args.parts * factor_i if args.weak else args.parts
 
     def best(a: dict, b: dict) -> dict:
         return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
@@ -117,7 +133,7 @@ def main() -> None:
         s = run_level(repo, args.small, n_convs, args.parts)
         print(json.dumps(s))
         small = s if small is None else best(small, s)
-        b = run_level(repo, args.big, n_convs, args.parts)
+        b = run_level(repo, args.big, big_convs, big_parts)
         print(json.dumps(b))
         big = b if big is None else best(big, b)
 
@@ -129,9 +145,16 @@ def main() -> None:
     # serial constant a real cluster also pays once, not per data unit
     adj_small = max(small["build_sec"] - small["floor_sec"], 0.001)
     adj_big = max(big["build_sec"] - big["floor_sec"], 0.001)
-    adj_eff = (adj_small / adj_big) / factor
+    # adjusted throughputs keep both modes on one formula: in weak mode
+    # big has factor x the turns, so tp ratio / factor == adj_small/adj_big
+    adj_eff = (
+        (big["turns"] / adj_big) / (small["turns"] / adj_small)
+    ) / factor
     result = {
-        "shuffle_partitions": args.parts,
+        "mode": "weak" if args.weak else "strong",
+        "shuffle_partitions": (
+            {"small": args.parts, "big": big_parts} if args.weak else args.parts
+        ),
         "small": small,
         "big": big,
         "speedup": round(ratio, 3),
@@ -142,7 +165,8 @@ def main() -> None:
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(repo, args.out), exist_ok=True)
-    with open(os.path.join(repo, args.out, "scaling.json"), "w") as f:
+    name = "scaling_weak.json" if args.weak else "scaling.json"
+    with open(os.path.join(repo, args.out, name), "w") as f:
         json.dump(result, f, indent=2)
 
 
