@@ -209,10 +209,12 @@ def cosine_dup_pairs_lsh(
     raise ``n_tables`` to hold recall; a higher ``threshold`` needs far
     fewer tables (collision prob per bit grows with cosine).
     """
+    # cache: the self-join below would otherwise re-run the mapInPandas
+    # bucket assignment (and re-scan the embeddings) once per side
     assign = lsh_bucket_assignments(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col,
-    )
+    ).cache()
     a = assign.alias("a")
     b = assign.alias("b")
     cand = (
