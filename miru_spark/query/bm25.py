@@ -88,6 +88,45 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     return None
 
 
+def _fusable_not(node: Node) -> tuple[list, list] | None:
+    """Detect ``And(text leaves…, Not(text leaf|Or-of-leaves)…)`` →
+    (positive_leaves, negative_leaves), else None.
+
+    pButNotQ (reference ``MiruBitmaps.andNot``) on the fused single-scan
+    plan: the one postings scan widens its term predicate to the negated
+    terms, which contribute a disqualifying presence flag to the same
+    aggregation but NO score weight — the tree plan's extra term-lookup
+    joins and the left_anti join disappear. ``NOT (a OR b)`` flattens
+    (any negated term present disqualifies); ``NOT (a AND b)`` is not
+    expressible with one any-present flag and falls back."""
+    from miru_spark.query.ast import And, Not, Or
+
+    if not isinstance(node, And):
+        return None
+    pos: list = []
+    neg: list = []
+
+    def collect_neg(n) -> bool:
+        if isinstance(n, (Term, Prefix)) and n.field == "text":
+            neg.append(n)
+            return True
+        if isinstance(n, Or):
+            return all(collect_neg(c) for c in n.children)
+        return False
+
+    for c in node.children:
+        if isinstance(c, (Term, Prefix)) and c.field == "text":
+            pos.append(c)
+        elif isinstance(c, Not):
+            if not collect_neg(c.child):
+                return None
+        else:
+            return None
+    if not pos or not neg:
+        return None  # pure AND is _fusable's case; pure NOT needs a seed
+    return pos, neg
+
+
 def _page_pred(after: float | None, exclude):
     """Keyset-pagination predicate over the (score desc, docint desc)
     total order — the engine's resumable top-k.
@@ -145,9 +184,16 @@ def _fused_scored(
     mode: str,
     leaves: list,
     ts_filter,
+    neg_leaves: list | None = None,
 ) -> DataFrame:
     """Unlimited (docint, score) for a fusable AND/OR query — everything
-    of the fused plan except pagination and the top-k heap."""
+    of the fused plan except pagination and the top-k heap.
+
+    ``neg_leaves`` (AND mode only, from :func:`_fusable_not`): negated
+    text leaves ride the SAME postings scan — their rows carry no score
+    weight (left join against the positive-only weight table leaves idf
+    null, and null contribs fall out of the sum) but set a presence flag
+    that disqualifies the doc in the same aggregation."""
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
     prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
     pred = None
@@ -157,10 +203,22 @@ def _fused_scored(
         c = F.col("term").startswith(p)
         pred = c if pred is None else (pred | c)
 
+    neg_pred = None
+    if neg_leaves:
+        neg_exact = sorted({l.value for l in neg_leaves if isinstance(l, Term)})
+        neg_pref = sorted({l.value for l in neg_leaves if isinstance(l, Prefix)})
+        if neg_exact:
+            neg_pred = F.col("term").isin(neg_exact)
+        for p in neg_pref:
+            c = F.col("term").startswith(p)
+            neg_pred = c if neg_pred is None else (neg_pred | c)
+
+    # weight table covers POSITIVE leaves only — negated terms never score
     qterms = _query_term_weights(index, leaves, pred)
+    scan_pred = pred if neg_pred is None else (pred | neg_pred)
+    base = index.postings.where(scan_pred)
     hits = (
-        index.postings.where(pred)
-        .join(qterms, "term")
+        base.join(qterms, "term", "left" if neg_pred is not None else "inner")
         .withColumn(
             "contrib",
             bm25_contrib(
@@ -181,12 +239,16 @@ def _fused_scored(
             F.max(F.when(F.col("term").startswith(p), 1).otherwise(0)).alias(f"_p{i}")
         )
         leaf_cols.append(f"_p{i}")
+    if neg_pred is not None:
+        aggs.append(F.max(F.when(neg_pred, 1).otherwise(0)).alias("_nn"))
     agg = hits.groupBy("docint").agg(*aggs)
     if mode == "and":
         need = (F.col("_ne") == len(exact)) if exact else F.lit(True)
         for c in leaf_cols:
             need = need & (F.col(c) == 1)
         agg = agg.where(need)
+    if neg_pred is not None:
+        agg = agg.where(F.col("_nn") == 0)
     if ts_filter is not None:
         agg = agg.join(ts_filter, "docint", "left_semi")
     if index.tombstones is not None:
@@ -203,8 +265,9 @@ def _fused_search(
     ts_filter,
     after: float | None = None,
     exclude=None,
+    neg_leaves: list | None = None,
 ) -> DataFrame:
-    agg = _fused_scored(index, mode, leaves, ts_filter)
+    agg = _fused_scored(index, mode, leaves, ts_filter, neg_leaves=neg_leaves)
     page = _page_pred(after, exclude)
     if page is not None:
         agg = agg.where(page)
@@ -246,6 +309,9 @@ def scored_matches(
     fused = _fusable(node)
     if fused is not None:
         return _fused_scored(index, fused[0], fused[1], ts_filter)
+    fnot = _fusable_not(node)
+    if fnot is not None:
+        return _fused_scored(index, "and", fnot[0], ts_filter, neg_leaves=fnot[1])
 
     ev = FilterEvaluator(index)
     matched = ev.matching_docs(node)
@@ -339,9 +405,15 @@ def search(
 
     meta0 = index.docs.select("docint", "conv_id", "turn_idx")
     fused = _fusable(node) if strategy == "bm25" else None
+    negs = None
+    if fused is None and strategy == "bm25":
+        fnot = _fusable_not(node)
+        if fnot is not None:
+            fused, negs = ("and", fnot[0]), fnot[1]
     if fused is not None:
         topk = _fused_search(
-            index, fused[0], fused[1], k, ts_filter, after=after, exclude=exclude
+            index, fused[0], fused[1], k, ts_filter,
+            after=after, exclude=exclude, neg_leaves=negs,
         )
         return (
             topk.join(meta0, "docint")

@@ -206,3 +206,35 @@ def test_dismax_bounds(built):
     for _, h in d0.iterrows():
         if h["docint"] in sums.index:
             assert h["score"] <= sums[h["docint"]] + 1e-9
+
+
+def test_fused_not_path_parity(built, monkeypatch):
+    """AND-with-NOT queries take the fused single-scan plan (negated
+    terms widen the scan predicate, score weight stays positive-only)
+    and return exactly what the general tree plan returns."""
+    import miru_spark.query.bm25 as bm25
+    from miru_spark.query.parser import parse_query
+
+    idx, _ = built
+    fused_qs = [
+        "w00003 AND NOT w00007",
+        "w00001 AND w00002 AND NOT w00005",
+        "w0000* AND NOT w00004",
+        "w00002 AND NOT (w00003 OR w00009)",
+        "w00001 AND NOT w0001*",
+    ]
+    for q in fused_qs:
+        node = parse_query(q, idx.analyzer)
+        assert bm25._fusable(node) is None
+        assert bm25._fusable_not(node) is not None, q
+        new = search(idx, q, k=15).toPandas()
+        with monkeypatch.context() as m:
+            m.setattr(bm25, "_fusable_not", lambda n: None)
+            old = search(idx, q, k=15).toPandas()
+        assert list(new["docint"]) == list(old["docint"]), q
+        assert max(abs(new["score"] - old["score"]), default=0.0) < 1e-9, q
+    # shapes that must NOT fuse: pure NOT (no seed), non-text negation,
+    # NOT of a conjunction
+    for q in ["NOT w00000", "w00001 AND NOT role:assistant"]:
+        node = parse_query(q, idx.analyzer)
+        assert bm25._fusable_not(node) is None, q
