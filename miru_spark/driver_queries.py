@@ -4727,6 +4727,39 @@ _register(
 )
 
 
+def _q_msm_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match with a GROUPED clause: ``spark OR (join OR
+    merge) OR hash`` at m=2 — the parenthesized group counts as ONE
+    SHOULD clause toward m, present when ANY member term is (Lucene
+    BooleanQuery counts clauses, not the terms a synonym expansion or
+    multi-term rewrite put inside one; query/bm25.py
+    search_min_should_match clause decomposition)."""
+    from miru_spark.query.bm25 import search_min_should_match
+
+    out = search_min_should_match(
+        _index_for(spark, sf_dir),
+        "spark OR (join OR merge) OR hash",
+        m=2,
+        k=10,
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_msm_clause",
+    _q_msm_clause,
+    _bm25_sql(
+        "SELECT docint FROM post WHERE term IN ('spark','join','merge','hash') "
+        "GROUP BY docint HAVING ("
+        "MAX(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)"
+        " + MAX(CASE WHEN term IN ('join','merge') THEN 1 ELSE 0 END)"
+        " + MAX(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)) >= 2",
+        "p.term IN ('spark','join','merge','hash')",
+        10,
+    ),
+)
+
+
 def _q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DisjunctionMax scoring (max + 0.3·rest) over four OR'd terms
     (query/bm25.py search_dismax — Lucene DisjunctionMaxQuery)."""
@@ -4764,6 +4797,72 @@ topk AS (
 SELECT dl.conv_id, dl.turn_idx, tk.docint, ROUND(tk.score, 4) AS score
 FROM topk tk JOIN dl ON dl.docint = tk.docint
 ORDER BY tk.score DESC, tk.docint DESC
+""",
+)
+
+
+def _q_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving: three queries (AND / OR / AND-NOT) through ONE
+    shared postings scan + one (query_id, docint) aggregation
+    (query/batch.py search_batch — the Spark-native amortization of the
+    reference's long-lived per-partition readers). Per-query results are
+    rank-identical to the single-query engine."""
+    from miru_spark.query.batch import search_batch
+
+    out = search_batch(
+        _index_for(spark, sf_dir),
+        [
+            ("b1", "spark AND join", 5),
+            ("b2", "merge OR hash", 5),
+            ("b3", "spark AND NOT join", 5),
+        ],
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_batch",
+    _q_batch_serve,
+    f"""{SQL_PRELUDE},
+w AS (
+  SELECT p.docint, p.term, {_BM25} AS w
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark', 'join', 'merge', 'hash')
+),
+q1 AS (
+  SELECT 'b1' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('spark', 'join') GROUP BY docint
+  HAVING COUNT(DISTINCT term) = 2
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+q2 AS (
+  SELECT 'b2' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('merge', 'hash') GROUP BY docint
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+q3 AS (
+  SELECT 'b3' AS query_id, docint,
+         SUM(CASE WHEN term = 'spark' THEN w END) AS score
+  FROM w WHERE term IN ('spark', 'join') GROUP BY docint
+  HAVING MAX(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) = 1
+     AND MAX(CASE WHEN term = 'join' THEN 1 ELSE 0 END) = 0
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+u AS (
+  SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, docint DESC) AS rank
+  FROM u
+)
+SELECT r.query_id, dl.conv_id, dl.turn_idx, r.docint,
+       ROUND(r.score, 4) AS score, r.rank::INT AS rank
+FROM r JOIN dl ON dl.docint = r.docint
+ORDER BY r.query_id, r.rank
 """,
 )
 

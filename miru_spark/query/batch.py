@@ -7,9 +7,9 @@ equivalent is batching: all queries' term predicates union into one
 postings scan, scores group by (query_id, docint), and a window takes
 each query's top-k — one shuffle + one window for the whole batch.
 
-Supports the fused query class (AND/OR of text terms/prefixes — the
-shape of the reference query set); anything else falls back to the
-single-query engine.
+Supports the fused query class (AND/OR of text terms/prefixes, plus
+AND-with-NOT — the shape of the reference query set); anything else
+falls back to the single-query engine.
 """
 
 from __future__ import annotations
@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from miru_spark.index import InvertedIndex
 from miru_spark.query.ast import Prefix, Term
-from miru_spark.query.bm25 import _fusable, bm25_contrib, idf_col, search
+from miru_spark.query.bm25 import (
+    _fusable,
+    _fusable_not,
+    bm25_contrib,
+    idf_col,
+    search,
+)
 from miru_spark.query.parser import parse_query
 
 
@@ -33,7 +39,8 @@ def search_batch(
     (score desc, docint desc) order).
     """
     spark = index.postings.sparkSession
-    fused_rows = []  # (qid, leaf_id, kind, value, boost, mode, n_leaves, k)
+    # (qid, leaf_id, kind, value, boost, mode, n_leaves, k, neg)
+    fused_rows = []
     fallback: list[tuple[str, str, int]] = []
     from miru_spark.query.filters import expand_multiterm
 
@@ -42,9 +49,15 @@ def search_batch(
         # fusable into the shared scan instead of falling back
         node = expand_multiterm(index, parse_query(qs, index.analyzer))
         f = _fusable(node)
+        neg_leaves: list = []
         if f is None:
-            fallback.append((qid, qs, k))
-            continue
+            # AND-with-NOT joins the shared scan too: negated terms ride
+            # as weightless presence rows (see bm25._fusable_not)
+            fn = _fusable_not(node)
+            if fn is None:
+                fallback.append((qid, qs, k))
+                continue
+            f, neg_leaves = ("and", fn[0]), fn[1]
         mode, leaves = f
         # dedupe leaves by (kind, value) — same AND-presence semantics as
         # the single-query path; identical leaves at different '^B'
@@ -67,6 +80,25 @@ def search_batch(
                     mode,
                     len(seen),
                     k,
+                    False,
+                )
+            )
+        # negated leaves: distinct leaf_ids past the positives (they are
+        # excluded from the AND-presence count), boost irrelevant (their
+        # rows never score)
+        negset = sorted({(isinstance(l, Prefix), l.value) for l in neg_leaves})
+        for j, (is_pref, val) in enumerate(negset):
+            fused_rows.append(
+                (
+                    qid,
+                    len(seen) + j,
+                    "prefix" if is_pref else "term",
+                    val,
+                    1.0,
+                    mode,
+                    len(seen),
+                    k,
+                    True,
                 )
             )
 
@@ -75,7 +107,7 @@ def search_batch(
         leaves_df = spark.createDataFrame(
             fused_rows,
             "qid string, leaf_id int, kind string, value string, "
-            "boost double, mode string, n_leaves int, k int",
+            "boost double, mode string, n_leaves int, k int, neg boolean",
         )
         # resolve leaves → concrete terms (prefix expansion via the
         # term-stats table, exact via equi-join)
@@ -102,19 +134,37 @@ def search_batch(
         # weight (parity with bm25._query_term_weights); the window runs
         # over the tiny driver-built leaf table, before the postings join.
         resolved = resolved.withColumn("w", F.col("idf") * F.col("boost"))
+        # positive rows outrank negated ones for the scoring slot — a
+        # term that is both positive and negated in one query must still
+        # contribute its weight (the neg flag then disqualifies the doc)
         wlr = Window.partitionBy("qid", "term").orderBy(
-            F.desc("w"), F.asc("leaf_id")
+            F.asc("neg"), F.desc("w"), F.asc("leaf_id")
         )
         resolved = F.broadcast(
             resolved.withColumn("_lr", F.row_number().over(wlr)).select(
-                "qid", "leaf_id", "term", "w", "mode", "n_leaves", "k", "_lr"
+                "qid", "leaf_id", "term", "w", "mode", "n_leaves", "k",
+                "neg", "_lr",
             )
         )
+        # push a coarse term predicate into the postings SCAN: every
+        # leaf value is a driver-side literal, so the union of exact
+        # terms (In) and prefixes (StringStartsWith — parquet pushes
+        # both) prunes row groups before the broadcast join refines
+        # per-query. Without this the batch pays a FULL postings scan.
+        exact_vals = sorted({r[3] for r in fused_rows if r[2] == "term"})
+        pref_vals = sorted({r[3] for r in fused_rows if r[2] == "prefix"})
+        scan_pred = None
+        if exact_vals:
+            scan_pred = F.col("term").isin(exact_vals)
+        for p in pref_vals:
+            sp = F.col("term").startswith(p)
+            scan_pred = sp if scan_pred is None else (scan_pred | sp)
+        postings = index.postings.where(scan_pred)
         hits = (
-            index.postings.join(resolved, "term")
+            postings.join(resolved, "term")
             .withColumn(
                 "contrib",
-                F.when(F.col("_lr") == 1,
+                F.when((F.col("_lr") == 1) & (~F.col("neg")),
                        bm25_contrib(
                            F.col("tf").cast("double"),
                            F.col("w"),
@@ -127,12 +177,18 @@ def search_batch(
             hits.groupBy("qid", "docint")
             .agg(
                 F.sum("contrib").alias("score"),
-                F.count_distinct("leaf_id").alias("_nl"),
+                F.count_distinct(
+                    F.when(~F.col("neg"), F.col("leaf_id"))
+                ).alias("_nl"),
+                F.max(F.when(F.col("neg"), 1).otherwise(0)).alias("_ng"),
                 F.first("mode").alias("_mode"),
                 F.first("n_leaves").alias("_need"),
                 F.first("k").alias("_k"),
             )
-            .where((F.col("_mode") == "or") | (F.col("_nl") == F.col("_need")))
+            .where(
+                ((F.col("_mode") == "or") | (F.col("_nl") == F.col("_need")))
+                & (F.col("_ng") == 0)
+            )
         )
         if index.tombstones is not None:
             scored = scored.join(

@@ -61,7 +61,11 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     These queries need no separate filter evaluation: ONE postings scan
     + ONE groupBy computes both the match predicate (per-leaf presence
     indicators) and the BM25 score — half the shuffles of the general
-    tree plan."""
+    tree plan.
+
+    Same-operator nesting flattens first (associativity: ``(a AND b)
+    AND c`` ≡ ``a AND b AND c``), so parenthesized queries of one
+    operator still take the fused plan."""
     from miru_spark.query.ast import And, Or
 
     def text_leaves(children) -> list | None:
@@ -78,14 +82,25 @@ def _fusable(node: Node) -> tuple[str, list] | None:
     if isinstance(node, (Term, Prefix)) and node.field == "text":
         return ("and", [node])
     if isinstance(node, And):
-        leaves = text_leaves(node.children)
+        leaves = text_leaves(_flat_children(node, And))
         if leaves:
             return ("and", leaves)
     if isinstance(node, Or):
-        leaves = text_leaves(node.children)
+        leaves = text_leaves(_flat_children(node, Or))
         if leaves:
             return ("or", leaves)
     return None
+
+
+def _flat_children(node, cls) -> list:
+    """Children of ``node`` with same-operator nesting flattened."""
+    out: list = []
+    for c in node.children:
+        if isinstance(c, cls):
+            out.extend(_flat_children(c, cls))
+        else:
+            out.append(c)
+    return out
 
 
 def _fusable_not(node: Node) -> tuple[list, list] | None:
@@ -114,7 +129,7 @@ def _fusable_not(node: Node) -> tuple[list, list] | None:
             return all(collect_neg(c) for c in n.children)
         return False
 
-    for c in node.children:
+    for c in _flat_children(node, And):
         if isinstance(c, (Term, Prefix)) and c.field == "text":
             pos.append(c)
         elif isinstance(c, Not):
@@ -513,19 +528,44 @@ def search_min_should_match(
 
     Same fused single-scan plan as :func:`search`: the postings scan
     survives only query terms, ONE groupBy(docint) computes score +
-    per-leaf presence, the m-of-n check is a post-aggregation filter,
-    TakeOrderedAndProject takes the k. Supports the fusable query class
-    (OR of text terms/prefixes after the multi-term rewrite).
+    per-CLAUSE presence, the m-of-n check is a post-aggregation filter,
+    TakeOrderedAndProject takes the k.
+
+    ``n`` counts TOP-LEVEL SHOULD clauses, exactly as Lucene does: a
+    clause that the multi-term rewrite (wildcard/fuzzy) or a synonym
+    expansion turned into an OR-of-terms group is still ONE clause,
+    present when ANY member term is (BooleanQuery counts the clause,
+    not its rewritten terms).
     """
+    from miru_spark.query.ast import Or as _Or
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
         index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
-    f = _fusable(node)
-    if f is None:
-        raise ValueError("min_should_match needs a fusable AND/OR text query")
-    _, leaves = f
+
+    def _is_leaf(x) -> bool:
+        return isinstance(x, (Term, Prefix)) and x.field == "text"
+
+    clauses: list[list] = []
+    if _is_leaf(node):
+        clauses = [[node]]
+    elif isinstance(node, _Or):
+        for c in node.children:
+            if _is_leaf(c):
+                clauses.append([c])
+            elif isinstance(c, _Or):
+                members = _flat_children(c, _Or)
+                if not all(_is_leaf(x) for x in members):
+                    clauses = []
+                    break
+                clauses.append(members)
+            else:
+                clauses = []
+                break
+    if not clauses:
+        raise ValueError("min_should_match needs an OR of text clauses")
+    leaves = [l for cl in clauses for l in cl]
 
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
     prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
@@ -550,25 +590,22 @@ def search_min_should_match(
             ),
         )
     )
+
+    def _leaf_term_pred(l):
+        if isinstance(l, Term):
+            return F.col("term") == F.lit(l.value)
+        return F.col("term").startswith(l.value)
+
     aggs = [F.sum("contrib").alias("score")]
-    if exact:
-        aggs.append(
-            F.count_distinct(
-                F.when(F.col("term").isin(exact), F.col("term"))
-            ).alias("_ne")
-        )
-    for i, p in enumerate(prefixes):
-        aggs.append(
-            F.max(F.when(F.col("term").startswith(p), 1).otherwise(0)).alias(
-                f"_p{i}"
-            )
-        )
+    for i, cl in enumerate(clauses):
+        cp = _leaf_term_pred(cl[0])
+        for l in cl[1:]:
+            cp = cp | _leaf_term_pred(l)
+        aggs.append(F.max(F.when(cp, 1).otherwise(0)).alias(f"_c{i}"))
     agg = hits.groupBy("docint").agg(*aggs)
     n_present = F.lit(0)
-    if exact:
-        n_present = n_present + F.col("_ne")
-    for i in range(len(prefixes)):
-        n_present = n_present + F.col(f"_p{i}")
+    for i in range(len(clauses)):
+        n_present = n_present + F.col(f"_c{i}")
     agg = agg.where(n_present >= m)
     if index.tombstones is not None:
         agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")

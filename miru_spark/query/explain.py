@@ -37,10 +37,13 @@ def explain_scores(
     (conv_id, turn_idx, docint, term, tf, doclen, idf, contrib, score)
     in (score desc, docint desc, term asc) order.
 
-    Supports the fused query class (AND/OR of text terms/prefixes,
-    after the multi-term rewrite); raises ``ValueError`` otherwise —
-    filter-tree queries have no per-term score decomposition.
+    Supports the fused query class (AND/OR of text terms/prefixes —
+    plus AND-with-NOT, whose negated terms never score and so never
+    appear in the breakdown — after the multi-term rewrite); raises
+    ``ValueError`` otherwise — filter-tree queries have no per-term
+    score decomposition.
     """
+    from miru_spark.query.bm25 import _fusable_not
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
@@ -48,7 +51,10 @@ def explain_scores(
     )
     f = _fusable(node)
     if f is None:
-        raise ValueError("explain_scores supports fusable AND/OR text queries")
+        fn = _fusable_not(node)
+        if fn is None:
+            raise ValueError("explain_scores supports fusable AND/OR text queries")
+        f = ("and", fn[0])  # breakdown covers scoring (positive) terms only
     _, leaves = f
 
     hits = search(index, query, k=k, **search_kw).select(

@@ -14,7 +14,9 @@ QUERIES = [
     ("q2", "w00003 OR w09999", 10),
     ("q3", "w0001*", 5),
     ("q4", "w00002 w00005 w00010", 10),
-    ("q5", "w00001 AND NOT w00002", 7),  # non-fusable → fallback path
+    ("q5", "w00001 AND NOT w00002", 7),  # AND-with-NOT: fuses (weightless neg rows)
+    ("q5b", "(w00004 AND w00005) AND NOT (w00006 OR w00007)", 7),
+    ("q5c", "w00001 AND NOT role:assistant", 7),  # non-text NOT → fallback
     ("q6", "w00000", 3),
     ("q7", "w0000?", 5),  # wildcard: multiterm-rewritten, fuses
     ("q8", "w00001~1", 5),  # fuzzy: multiterm-rewritten, fuses

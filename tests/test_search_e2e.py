@@ -190,6 +190,29 @@ def test_min_should_match_bounds(built, small_pdf):
         assert len(toks & terms) >= 2
 
 
+def test_min_should_match_counts_clauses_not_terms(built, small_pdf):
+    """A grouped clause (synonym / multi-term-rewrite shape) counts ONCE
+    toward m, exactly like a Lucene SHOULD clause — matching several of
+    its member terms must not inflate the clause count."""
+    from miru_spark.query.bm25 import search_min_should_match
+    from miru_spark.tokenize import tokenize_py
+
+    idx, _ = built
+    # 2 clauses: [w00001], [w00002 OR w00003]. m=2 requires w00001 AND
+    # (w00002 OR w00003) — a doc with only w00002+w00003 has 1 clause.
+    q = "w00001 OR (w00002 OR w00003)"
+    m2 = search_min_should_match(idx, q, m=2, k=25).toPandas()
+    by_doc = small_pdf.set_index(["conv_id", "turn_idx"])["text"]
+    assert len(m2) > 0
+    for _, h in m2.iterrows():
+        toks = set(tokenize_py(by_doc.loc[(h["conv_id"], h["turn_idx"])]))
+        assert "w00001" in toks and ({"w00002", "w00003"} & toks), (
+            h["conv_id"], h["turn_idx"])
+    # equivalently: identical doc set to the explicit boolean form
+    explicit = search(idx, "w00001 AND (w00002 OR w00003)", k=25).toPandas()
+    assert sorted(m2["docint"]) == sorted(explicit["docint"])
+
+
 def test_dismax_bounds(built):
     """tie_breaker=1 equals the plain OR sum; tie_breaker=0 is pure max
     (never exceeds the sum, equals it for single-term hits)."""
@@ -222,6 +245,7 @@ def test_fused_not_path_parity(built, monkeypatch):
         "w0000* AND NOT w00004",
         "w00002 AND NOT (w00003 OR w00009)",
         "w00001 AND NOT w0001*",
+        "(w00004 AND w00005) AND NOT (w00006 OR w00007)",  # nested AND flattens
     ]
     for q in fused_qs:
         node = parse_query(q, idx.analyzer)

@@ -73,6 +73,10 @@ def main() -> None:
     ap.add_argument("--big", type=int, default=8)
     ap.add_argument("--rows", type=int, default=40_000_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--weak", action="store_true",
+                    help="weak (Gustafson) ceiling: big level processes "
+                    "core_factor x the rows; ideal = equal durations, "
+                    "efficiency = small_sec / big_sec")
     ap.add_argument("--out", default="BENCH/env_scaling.json")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,25 +90,33 @@ def main() -> None:
             "cpu_sec": min(a["cpu_sec"], b["cpu_sec"]),
         }
 
+    factor_i = args.big // args.small
+    big_rows = args.rows * factor_i if args.weak else args.rows
+
     small = big = None
     for _ in range(args.reps):
         s = run_level(repo, args.small, args.rows)
         print(json.dumps(s))
         small = best(small, s)
-        b = run_level(repo, args.big, args.rows)
+        b = run_level(repo, args.big, big_rows)
         print(json.dumps(b))
         big = best(big, b)
 
     factor = args.big / args.small
+    # strong: ideal big is factor x faster on the same rows. weak: big
+    # has factor x the rows, so ideal is EQUAL durations — one formula
+    # covers both because per-row throughput ratios cancel the rows.
+    t_factor = 1.0 if args.weak else factor
     result = {
+        "mode": "weak" if args.weak else "strong",
         "small": small,
         "big": big,
         "core_factor": factor,
         "shuffle_efficiency": round(
-            (small["shuffle_sec"] / big["shuffle_sec"]) / factor, 3
+            small["shuffle_sec"] / big["shuffle_sec"] / t_factor, 3
         ),
         "cpu_efficiency": round(
-            (small["cpu_sec"] / big["cpu_sec"]) / factor, 3
+            small["cpu_sec"] / big["cpu_sec"] / t_factor, 3
         ),
     }
     print(json.dumps(result))

@@ -94,9 +94,42 @@ def main() -> None:
     )
     sections.append(
         (
-            "General filter-tree query (AND NOT)",
-            "Postings semi/anti joins; still index-only (no corpus scan).",
+            "Fused AND-NOT (negated term rides the single scan)",
+            "Round-3 rewrite: the negated term joins the SAME postings "
+            "scan as weightless presence rows — one scan, one "
+            "aggregation, the anti-semantics applied as a "
+            "post-aggregation filter (max(neg)=0) instead of a second "
+            "scan + left_anti join.",
             search(idx, "window AND NOT join", k=10),
+        )
+    )
+    sections.append(
+        (
+            "General filter-tree query (field predicate forces tree path)",
+            "Non-text leaves (role:) cannot ride the postings scan; the "
+            "tree evaluator intersects the text match set with a "
+            "docs-side predicate via semi-join. Still index-only on the "
+            "text side.",
+            search(idx, "spark AND role:assistant", k=10),
+        )
+    )
+    from miru_spark.query.batch import search_batch
+
+    sections.append(
+        (
+            "Batched serving (3 queries, one shared scan)",
+            "All queries' terms union into ONE postings scan (predicate "
+            "pushed), per-(query_id, docint) aggregation, per-query "
+            "top-k via a window over the tiny post-agg relation — the "
+            "whole batch pays one shuffle.",
+            search_batch(
+                idx,
+                [
+                    ("b1", "spark AND join", 5),
+                    ("b2", "merge OR hash", 5),
+                    ("b3", "spark AND NOT join", 5),
+                ],
+            ),
         )
     )
     sections.append(
