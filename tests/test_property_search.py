@@ -30,6 +30,17 @@ ATOMS = [
     "w0000*",
     "role:assistant",
     "tool:bash",
+    # full query-language lattice: boosts, wildcard/fuzzy/regexp
+    # (multi-term rewrites), phrases (positional), slop phrases,
+    # typed metadata ranges — each independently reimplemented in
+    # miru_spark/oracle.py
+    "w00007^2",
+    "w?0002",
+    "w00042~1",
+    "/w0000[17]/",
+    '"w00001 w00002"',
+    '"w00002 w00007"~3',
+    "turn_idx:[1 TO 8]",
 ]
 
 atom = st.sampled_from(ATOMS)
@@ -54,12 +65,37 @@ def built(tiny_turns, tiny_pdf):
 
 
 @settings(
-    max_examples=15,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(q=expr)
 def test_random_query_rank_parity(built, q):
+    idx, oracle = built
+    got = search(idx, q, k=10).toPandas()
+    exp = oracle.search(q, k=10)
+    assert len(got) == len(exp), f"{q}: {len(got)} != {len(exp)}"
+    for i, (g, e) in enumerate(
+        zip(got.to_dict("records"), exp.to_dict("records"))
+    ):
+        assert g["docint"] == e["docint"], f"{q} rank {i}"
+        assert abs(g["score"] - e["score"]) < 1e-6, f"{q} rank {i} score"
+
+
+# every atom standalone plus cross-feature combinations hypothesis may
+# not sample — deterministic, so each language feature gets at least
+# one rank-parity check per run
+PINNED = ATOMS + [
+    '"w00001 w00002" OR w00007^3',
+    '(w00042~1 AND turn_idx:[0 TO 6]) OR /w0000[17]/',
+    'w?0002 AND NOT "w00002 w00007"~3',
+    "role:assistant AND w00007^2 AND NOT w00001",
+    'turn_idx:{1 TO 8] AND w0000*',
+]
+
+
+@pytest.mark.parametrize("q", PINNED)
+def test_pinned_query_rank_parity(built, q):
     idx, oracle = built
     got = search(idx, q, k=10).toPandas()
     exp = oracle.search(q, k=10)
