@@ -142,6 +142,117 @@ def _fusable_not(node: Node) -> tuple[list, list] | None:
     return pos, neg
 
 
+def _is_doc_meta_leaf(n) -> bool:
+    """A leaf evaluable as a plain predicate on the docs row-store
+    (role:assistant, tool:ba*, turn_idx:[2 TO 5], authz any-of, …) —
+    everything :func:`filters._meta_pred` handles. Text-field leaves,
+    phrases, and text numeric ranges are NOT doc-meta leaves."""
+    from miru_spark.query.ast import (
+        DEFAULT_FIELD,
+        AuthzAny,
+        Fuzzy,
+        Range,
+        Regexp,
+        Wildcard,
+    )
+
+    return (
+        isinstance(n, (Term, Prefix, Wildcard, Fuzzy, Regexp, Range, AuthzAny))
+        and getattr(n, "field", DEFAULT_FIELD) != DEFAULT_FIELD
+    )
+
+
+def _peel_meta_conjuncts(node: Node):
+    """Split a top-level And into (text subtree, pos_meta, neg_meta).
+
+    ``role:assistant AND batch`` and friends otherwise fall off the
+    fused single-scan plan solely because of the metadata conjunct and
+    pay the general tree plan (a second postings scan + intersect
+    joins). Metadata equality/prefix/range/authz conjuncts — and their
+    negations — are doc-level predicates, i.e. exactly the shape the
+    fused plan's existing doc-mask (time-range) semi-join consumes: one
+    docs scan with the predicates PUSHED to parquet, one left_semi
+    after the aggregation. The reference evaluates these the same way —
+    field filters AND bitmap-intersect into the answer mask
+    (MiruAggregateUtil.java:1098-1202) orthogonally to scoring.
+
+    Returns ``(node, [], [])`` unchanged when there is nothing to peel;
+    ``(None, …)`` when peeling would leave no text subtree (pure-
+    metadata conjunction — the tree plan's job)."""
+    from miru_spark.query.ast import And, Not
+
+    if not isinstance(node, And):
+        return node, [], []
+    pos_meta: list = []
+    neg_meta: list = []
+    keep: list = []
+    for c in _flat_children(node, And):
+        if _is_doc_meta_leaf(c):
+            pos_meta.append(c)
+        elif isinstance(c, Not) and _is_doc_meta_leaf(c.child):
+            neg_meta.append(c.child)
+        else:
+            keep.append(c)
+    if not (pos_meta or neg_meta):
+        return node, [], []
+    if not keep:
+        return None, pos_meta, neg_meta
+    sub = keep[0] if len(keep) == 1 else And(tuple(keep))
+    return sub, pos_meta, neg_meta
+
+
+def _doc_mask(index: InvertedIndex, ts_lo, ts_hi, pos_meta=(), neg_meta=()):
+    """ONE docs scan combining the time-range mask and any peeled
+    metadata conjuncts into a docint set for the fused plan's post-agg
+    semi-join. Negated leaves null-guard (a doc with a NULL field does
+    not match ``role:user``, so ``NOT role:user`` keeps it — matching
+    the tree plan's left_anti exactly)."""
+    from miru_spark.query.filters import _meta_pred
+
+    preds = []
+    if ts_lo is not None:
+        preds.append(F.col("ts") >= F.lit(ts_lo))
+    if ts_hi is not None:
+        preds.append(F.col("ts") <= F.lit(ts_hi))
+    for l in pos_meta:
+        preds.append(_meta_pred(l))
+    for l in neg_meta:
+        preds.append(~F.coalesce(_meta_pred(l), F.lit(False)))
+    if not preds:
+        return None
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred & p
+    return index.docs.where(pred).select("docint")
+
+
+def _meta_fields_known(index: InvertedIndex, leaves) -> bool:
+    cols = set(index.docs.columns)
+    return all(l.field in cols for l in leaves)
+
+
+def _plan_fused(index: InvertedIndex, node: Node, ts_lo, ts_hi):
+    """Try the fused single-scan plan, peeling doc-metadata conjuncts
+    into the doc mask. Returns (mode, leaves, neg_leaves, doc_mask) or
+    None (caller falls back to the tree plan on the ORIGINAL node)."""
+    sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
+    if sub is None:
+        return None
+    if (pos_meta or neg_meta) and not _meta_fields_known(
+        index, [*pos_meta, *neg_meta]
+    ):
+        return None
+    fused = _fusable(sub)
+    negs = None
+    if fused is None:
+        fnot = _fusable_not(sub)
+        if fnot is None:
+            return None
+        fused, negs = ("and", fnot[0]), fnot[1]
+    mask = _doc_mask(index, ts_lo, ts_hi, pos_meta, neg_meta)
+    return fused[0], fused[1], negs, mask
+
+
 def _page_pred(after: float | None, exclude):
     """Keyset-pagination predicate over the (score desc, docint desc)
     total order — the engine's resumable top-k.
@@ -312,6 +423,11 @@ def scored_matches(
 
     node = expand_multiterm(index, node)
 
+    plan = _plan_fused(index, node, ts_lo, ts_hi)
+    if plan is not None:
+        mode, leaves, negs, mask = plan
+        return _fused_scored(index, mode, leaves, mask, neg_leaves=negs)
+
     ts_filter = None
     if ts_lo is not None or ts_hi is not None:
         in_range = index.docs
@@ -320,13 +436,6 @@ def scored_matches(
         if ts_hi is not None:
             in_range = in_range.where(F.col("ts") <= F.lit(ts_hi))
         ts_filter = in_range.select("docint")
-
-    fused = _fusable(node)
-    if fused is not None:
-        return _fused_scored(index, fused[0], fused[1], ts_filter)
-    fnot = _fusable_not(node)
-    if fnot is not None:
-        return _fused_scored(index, "and", fnot[0], ts_filter, neg_leaves=fnot[1])
 
     ev = FilterEvaluator(index)
     matched = ev.matching_docs(node)
@@ -409,25 +518,12 @@ def search(
 
     node = expand_multiterm(index, node)
 
-    ts_filter = None
-    if ts_lo is not None or ts_hi is not None:
-        in_range = index.docs
-        if ts_lo is not None:
-            in_range = in_range.where(F.col("ts") >= F.lit(ts_lo))
-        if ts_hi is not None:
-            in_range = in_range.where(F.col("ts") <= F.lit(ts_hi))
-        ts_filter = in_range.select("docint")
-
     meta0 = index.docs.select("docint", "conv_id", "turn_idx")
-    fused = _fusable(node) if strategy == "bm25" else None
-    negs = None
-    if fused is None and strategy == "bm25":
-        fnot = _fusable_not(node)
-        if fnot is not None:
-            fused, negs = ("and", fnot[0]), fnot[1]
-    if fused is not None:
+    plan = _plan_fused(index, node, ts_lo, ts_hi) if strategy == "bm25" else None
+    if plan is not None:
+        mode, leaves, negs, mask = plan
         topk = _fused_search(
-            index, fused[0], fused[1], k, ts_filter,
+            index, mode, leaves, k, mask,
             after=after, exclude=exclude, neg_leaves=negs,
         )
         return (

@@ -91,6 +91,12 @@ PINNED = ATOMS + [
     'w?0002 AND NOT "w00002 w00007"~3',
     "role:assistant AND w00007^2 AND NOT w00001",
     'turn_idx:{1 TO 8] AND w0000*',
+    # peeled-metadata fused plans (bm25._peel_meta_conjuncts): positive
+    # and negated doc-meta conjuncts ride the single postings scan as a
+    # doc-mask semi-join
+    "w0000* AND role:assistant AND NOT tool:bash",
+    "tool:bash AND w00042~1 AND turn_idx:[0 TO 9]",
+    "w00001 AND NOT role:user AND NOT w00002",
 ]
 
 
