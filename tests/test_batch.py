@@ -72,3 +72,46 @@ def test_overlapping_leaves_score_once(built):
         exp = search(built, qs, k=k).toPandas()
         assert list(got["docint"]) == list(exp["docint"]), qid
         assert np.allclose(got["score"], exp["score"], atol=1e-9), qid
+
+
+# ---------------------------------------------------------------------------
+# property: ANY random mix of query shapes stays result-identical to the
+# per-query engine — fused shapes share the scan, everything else
+# (phrases, metadata conjuncts) exercises the fallback path
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BATCH_ATOMS = [
+    "w00001",
+    "w00002 AND w00007",
+    "w00003 OR w09999",
+    "w0001*",
+    "w00001 AND NOT w00002",
+    "w0000?",
+    "w00042~1",
+    "w00007^2 OR w00003",
+    "role:assistant AND w00007",
+    "w00001 AND NOT role:user",
+    '"w00001 w00002"',
+    "turn_idx:[1 TO 8] AND w0000*",
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(BATCH_ATOMS), min_size=1, max_size=5, unique=True),
+    st.integers(3, 10),
+)
+def test_batch_parity_random(built, qset, k):
+    queries = [(f"q{i}", qs, k) for i, qs in enumerate(qset)]
+    batch = search_batch(built, queries).toPandas()
+    for qid, qs, kk in queries:
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        exp = search(built, qs, k=kk).toPandas()
+        assert list(got["docint"]) == list(exp["docint"]), (qid, qs)
+        assert np.allclose(got["score"], exp["score"], atol=1e-9), (qid, qs)
