@@ -250,7 +250,7 @@ _SPECS: dict[str, tuple[str, tuple[tuple[str, str], ...], str | None]] = {
     "ar": (
         f"[{_ARB}]+",
         (
-            ("[ً-ٰ]", ""),
+            ("[ً-ٰٟ]", ""),
             ("[أإآٱ]", "ا"),
             ("ى", "ي"),
             ("ة", "ه"),
@@ -262,7 +262,7 @@ _SPECS: dict[str, tuple[str, tuple[tuple[str, str], ...], str | None]] = {
     # PersianNormalizer folds arabic yeh/kaf to their Persian forms. ---
     "fa": (
         f"[{_ARB}]+",
-        (("[ً-ٰ]", ""), ("ي", "ی"), ("ك", "ک")),
+        (("[ً-ٰٟ]", ""), ("ي", "ی"), ("ك", "ک")),
         f"^([{_ARB}]{{3,}}?)(?:ترین|تر|های|ها|ان)$",
     ),
 }
@@ -530,6 +530,28 @@ def analyze_py(text: str | None, analyzer: str = DEFAULT_ANALYZER) -> list[str]:
         )
         stem = _PY_MIN_STEMS[analyzer]
         return [stem.sub(r"\1", t) for t in toks]
+    raise ValueError(f"unknown analyzer: {analyzer!r}")
+
+
+def surface_token_re(analyzer: str = DEFAULT_ANALYZER) -> str:
+    """Regex extracting the analyzer's SURFACE tokens from lowered
+    display text — :func:`pretokenize_py`'s column-side twin minus
+    normalization (a snippet shows surface forms; the highlighter
+    re-analyzes each token to decide matches)."""
+    if analyzer.endswith("_stop"):
+        return surface_token_re(analyzer[: -len("_stop")])
+    if analyzer == "whitespace":
+        return WS_RUN_RE
+    if analyzer == "cjk":
+        return f"(?:{TOKEN_RE})|(?:{CJK_RUN_RE})"
+    if analyzer == "thai":
+        return f"(?:{TOKEN_RE})|(?:{THAI_RUN_RE})"
+    if analyzer in _SPECS:
+        return _SPECS[analyzer][0]
+    if analyzer in _LATIN_ANALYZERS:
+        return LATIN_TOKEN_RE
+    if analyzer == "standard" or analyzer in _MIN_STEMS:  # en
+        return TOKEN_RE
     raise ValueError(f"unknown analyzer: {analyzer!r}")
 
 

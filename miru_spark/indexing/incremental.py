@@ -233,15 +233,23 @@ class SegmentStore:
 
     def _check_batch_schema(self, batch: DataFrame) -> None:
         """Gate an incoming batch on additive schema evolution
-        (MiruSchema.checkAdditive parity): compare against ONE live
-        unit's docs schema (a parquet-footer read, no Spark job), minus
-        the engine-derived columns."""
+        (MiruSchema.checkAdditive parity): compare against the UNION of
+        every live unit's docs schema (one mergeSchema footer read, no
+        Spark job), minus the engine-derived columns. The union is the
+        store's current schema — checking a single (oldest) unit would
+        let a batch silently drop a column a LATER additive append
+        introduced; the reference checks against the latest registered
+        schema (MiruSchema.java:303-314)."""
         units = self.live_units()
         if not units:
             return
         from pyspark.sql.types import StructType
 
-        stored = self.spark.read.parquet(f"{units[0]}/docs").schema
+        stored = (
+            self.spark.read.option("mergeSchema", True)
+            .parquet(*[f"{u}/docs" for u in units])
+            .schema
+        )
         old = StructType(
             [f for f in stored.fields if f.name not in ("docint", "doclen")]
         )

@@ -93,11 +93,14 @@ def strut_score(
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
-    cols = ["term", "weight"] + (["scalar"] if "scalar" in model.columns else [])
+    # the scalar multiplier belongs to regression_weighted/max ONLY
+    # (Strut.java:368-400 applies numeratorScalars under those
+    # strategies); unit_weighted must ignore a scalar column that
+    # happens to ride on a shared model DataFrame
+    use_scalar = strategy != "unit_weighted" and "scalar" in model.columns
+    cols = ["term", "weight"] + (["scalar"] if use_scalar else [])
     contrib = (
-        F.col("weight") * F.col("scalar")
-        if "scalar" in cols
-        else F.col("weight")
+        F.col("weight") * F.col("scalar") if use_scalar else F.col("weight")
     )
     agg = (F.max if strategy == "max" else F.sum)(contrib).alias("score")
     scored = (

@@ -633,6 +633,7 @@ def search_min_should_match(
     present when ANY member term is (BooleanQuery counts the clause,
     not its rewritten terms).
     """
+    from miru_spark.query.ast import And as _And
     from miru_spark.query.ast import Or as _Or
     from miru_spark.query.filters import expand_multiterm
 
@@ -643,24 +644,36 @@ def search_min_should_match(
     def _is_leaf(x) -> bool:
         return isinstance(x, (Term, Prefix)) and x.field == "text"
 
+    def _collect(children) -> list[list]:
+        out: list[list] = []
+        for c in children:
+            if _is_leaf(c):
+                out.append([c])
+            elif isinstance(c, _Or):
+                members = _flat_children(c, _Or)
+                if not all(_is_leaf(x) for x in members):
+                    return []
+                out.append(members)
+            else:
+                return []
+        return out
+
     clauses: list[list] = []
     if _is_leaf(node):
         clauses = [[node]]
     elif isinstance(node, _Or):
-        for c in node.children:
-            if _is_leaf(c):
-                clauses.append([c])
-            elif isinstance(c, _Or):
-                members = _flat_children(c, _Or)
-                if not all(_is_leaf(x) for x in members):
-                    clauses = []
-                    break
-                clauses.append(members)
-            else:
-                clauses = []
-                break
+        clauses = _collect(node.children)
+    elif isinstance(node, _And):
+        # an implicit-AND query string ("spark join merge" under the
+        # default-AND parser) is the natural way to hand this API its
+        # clause list — calling min_should_match(m) DECLARES the
+        # clauses SHOULD (Lucene msm only applies to SHOULD clauses;
+        # the caller's m-of-n intent overrides the parser's default
+        # operator), so top-level AND children count exactly like OR
+        # children
+        clauses = _collect(_flat_children(node, _And))
     if not clauses:
-        raise ValueError("min_should_match needs an OR of text clauses")
+        raise ValueError("min_should_match needs an OR/AND of text clauses")
     leaves = [l for cl in clauses for l in cl]
 
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})

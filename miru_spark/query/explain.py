@@ -43,15 +43,18 @@ def explain_scores(
     ``ValueError`` otherwise — filter-tree queries have no per-term
     score decomposition.
     """
-    from miru_spark.query.bm25 import _fusable_not
+    from miru_spark.query.bm25 import _fusable_not, _peel_meta_conjuncts
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
         index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
-    f = _fusable(node)
+    # metadata conjuncts select hits but never score — peel them exactly
+    # like search()'s fused plan and explain the text subtree
+    sub, _pm, _nm = _peel_meta_conjuncts(node)
+    f = _fusable(sub) if sub is not None else None
     if f is None:
-        fn = _fusable_not(node)
+        fn = _fusable_not(sub) if sub is not None else None
         if fn is None:
             raise ValueError("explain_scores supports fusable AND/OR text queries")
         f = ("and", fn[0])  # breakdown covers scoring (positive) terms only

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from miru_spark.index import InvertedIndex
 from miru_spark.query.ast import Prefix, Term, positive_text_leaves
 from miru_spark.query.parser import parse_query
-from miru_spark.tokenize import TOKEN_RE
 
 
 def with_snippets(
@@ -30,8 +29,16 @@ def with_snippets(
 ) -> DataFrame:
     """Join hit texts back to `results` (k rows) and add a ``snippet``
     column: ±``window`` tokens around the first matched token, matches
-    wrapped in pre/post tags."""
-    leaves = positive_text_leaves(parse_query(query))
+    wrapped in pre/post tags.
+
+    The query parses through the INDEX's analyzer (like every other
+    query entry point), and each display token matches by its ANALYZED
+    form — on an 'en' index the query ``joins`` (term ``join``)
+    highlights the surface tokens *joins*/*joining* but not *joint*,
+    exactly as Lucene's highlighter re-analyzes the stored text."""
+    from miru_spark.analyzers import analyze_col, surface_token_re
+
+    leaves = positive_text_leaves(parse_query(query, index.analyzer))
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
     prefixes = sorted({l.value for l in leaves if isinstance(l, Prefix)})
 
@@ -39,12 +46,19 @@ def with_snippets(
         index.docs.select("docint", "text"), "docint", "left"
     )
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")),
+        F.lit(surface_token_re(index.analyzer)),
+        F.lit(0),
+    )
 
     def is_match(t):
         cond = F.lit(False)
         if exact:
-            cond = cond | t.isin(exact)
+            cond = cond | F.arrays_overlap(
+                analyze_col(t, index.analyzer),
+                F.array(*[F.lit(v) for v in exact]),
+            )
         for p in prefixes:
             cond = cond | t.startswith(p)
         return cond

@@ -318,8 +318,12 @@ def analyze_node(node: Node, analyzer: str = "standard") -> Node:
     inside Phrases; Prefix/Wildcard/Fuzzy/Regexp patterns BYPASS
     analysis (Lucene multi-term queries are not analyzed); metadata
     fields (role:, tool:) are keyword fields and pass through; a term
-    that analyzes to nothing (pure stopword under a ``_stop`` analyzer)
-    is left verbatim, matching Lucene's no-op on empty token streams.
+    or phrase that analyzes to nothing (pure stopword under a ``_stop``
+    analyzer) DROPS its clause — Lucene's ``QueryBuilder`` returns null
+    for an empty token stream and the enclosing BooleanQuery omits the
+    clause, so ``the AND batch`` means ``batch``, not an impossible
+    conjunction. A query that analyzes to nothing entirely raises
+    ``QueryParseError``.
 
     NOT idempotent for suffix stemmers — apply exactly once per query
     string, which ``parse_query(q, analyzer=...)`` guarantees.
@@ -331,11 +335,11 @@ def analyze_node(node: Node, analyzer: str = "standard") -> Node:
     from miru_spark.analyzers import analyze_py
     from miru_spark.query.ast import And, Not, Or, Phrase, Term
 
-    def go(n: Node) -> Node:
+    def go(n: Node) -> Node | None:
         if isinstance(n, Term) and n.field == DEFAULT_FIELD:
             out = analyze_py(n.value, analyzer)
             if not out:
-                return n
+                return None  # empty token stream → clause dropped
             if len(out) == 1:
                 return _replace(n, value=out[0])
             return And(tuple(_replace(n, value=v) for v in out))
@@ -343,16 +347,23 @@ def analyze_node(node: Node, analyzer: str = "standard") -> Node:
             vals: list[str] = []
             for v in n.values:
                 vals.extend(analyze_py(v, analyzer))
-            return _replace(n, values=tuple(vals)) if vals else n
-        if isinstance(n, And):
-            return And(tuple(go(c) for c in n.children))
-        if isinstance(n, Or):
-            return Or(tuple(go(c) for c in n.children))
+            return _replace(n, values=tuple(vals)) if vals else None
+        if isinstance(n, (And, Or)):
+            kids = [k for k in (go(c) for c in n.children) if k is not None]
+            if not kids:
+                return None
+            if len(kids) == 1:
+                return kids[0]
+            return type(n)(tuple(kids))
         if isinstance(n, Not):
-            return Not(go(n.child))
+            c = go(n.child)
+            return None if c is None else Not(c)
         return n
 
-    return go(node)
+    out = go(node)
+    if out is None:
+        raise QueryParseError("query analyzes to nothing")
+    return out
 
 
 def parse_query(q: str, analyzer: str = "standard") -> Node:

@@ -279,9 +279,36 @@ def test_append_schema_additive_gate(spark, tiny_turns, tmp_path):
 
     # dropped column → rejected, nothing written
     n_units = len(store.manifest())
-    with _pytest.raises(SchemaNotAdditiveError, match="missing columns \\['ts'\\]"):
+    # (the union gate also reports 'source_tag' missing — the batch
+    # carries neither column)
+    with _pytest.raises(SchemaNotAdditiveError, match="missing columns \\[.*'ts'"):
         store.append(tiny_turns.drop("ts"))
     # retyped column → rejected
     with _pytest.raises(SchemaNotAdditiveError, match="retyped"):
         store.append(tiny_turns.withColumn("turn_idx", F.col("turn_idx").cast("long")))
     assert len(store.manifest()) == n_units
+
+
+def test_append_schema_gate_checks_union_of_units(spark, tiny_turns, tmp_path):
+    """The gate compares against the UNION of live-unit schemas, not an
+    arbitrary (oldest) unit: after an additive append introduces a
+    column, a later batch WITHOUT that column must be rejected."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from miru_spark.indexing.incremental import SchemaNotAdditiveError
+
+    store = _store(spark, tmp_path / "seg")
+    store.build(tiny_turns.where(F.col("conv_id") < "conv00000050"))
+    mid = tiny_turns.where(
+        (F.col("conv_id") >= "conv00000050") & (F.col("conv_id") < "conv00000080")
+    )
+    store.append(mid.withColumn("source_tag", F.lit("batch2")))
+
+    late = tiny_turns.where(F.col("conv_id") >= "conv00000080")
+    with _pytest.raises(
+        SchemaNotAdditiveError, match="missing columns \\['source_tag'\\]"
+    ):
+        store.append(late)  # oldest unit lacks source_tag; the union has it
+    # carrying the evolved column is accepted
+    store.append(late.withColumn("source_tag", F.lit("batch3")))

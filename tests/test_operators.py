@@ -793,3 +793,31 @@ def test_retention_cohorts(spark):
     # week 1 cohort: u3 -> returns at offset 1
     assert by[(1, 0)] == 1 and by[(1, 1)] == 1
     assert len(by) == 5
+
+
+def test_strut_unit_weighted_ignores_scalar(spark, tiny_turns):
+    """strategy='unit_weighted' must ignore a 'scalar' column riding on
+    a shared model DataFrame — the scalar multiplier belongs to
+    regression_weighted/max only (Strut.java:368-400)."""
+    import pyspark.sql.functions as F
+
+    from miru_spark.index import InvertedIndex
+    from miru_spark.operators.strut import strut_score
+
+    idx = InvertedIndex.build(tiny_turns)
+    cands = idx.docs.select("docint").limit(200)
+    model = spark.createDataFrame(
+        [("w00001", 1.0), ("w00002", 0.5), ("w00007", 0.25)],
+        "term string, weight double",
+    )
+    plain = strut_score(idx, cands, model, k=10, strategy="unit_weighted")
+    with_scalar = strut_score(
+        idx,
+        cands,
+        model.withColumn("scalar", F.lit(7.0)),
+        k=10,
+        strategy="unit_weighted",
+    )
+    assert [tuple(r) for r in plain.collect()] == [
+        tuple(r) for r in with_scalar.collect()
+    ]

@@ -262,3 +262,21 @@ def test_fused_not_path_parity(built, monkeypatch):
     for q in ["NOT w00000", "w00001 AND NOT role:assistant"]:
         node = parse_query(q, idx.analyzer)
         assert bm25._fusable_not(node) is None, q
+
+
+def test_min_should_match_implicit_and(built, small_pdf):
+    """An implicit-AND query string ('w00001 w00002 w00003' under the
+    default-AND parser) is accepted: calling min_should_match declares
+    the clauses SHOULD, so results equal the explicit-OR spelling."""
+    from miru_spark.query.bm25 import search_min_should_match
+
+    idx, _ = built
+    for m in (1, 2, 3):
+        got = search_min_should_match(
+            idx, "w00001 w00002 w00003", m=m, k=10
+        ).toPandas()
+        exp = search_min_should_match(
+            idx, "w00001 OR w00002 OR w00003", m=m, k=10
+        ).toPandas()
+        assert list(got["docint"]) == list(exp["docint"]), m
+        assert list(got["score"]) == list(exp["score"]), m

@@ -105,12 +105,23 @@ def main() -> None:
     )
     sections.append(
         (
-            "General filter-tree query (field predicate forces tree path)",
-            "Non-text leaves (role:) cannot ride the postings scan; the "
-            "tree evaluator intersects the text match set with a "
-            "docs-side predicate via semi-join. Still index-only on the "
-            "text side.",
+            "Fused plan with peeled metadata conjunct",
+            "Round-3 peel (bm25._peel_meta_conjuncts): the role: "
+            "conjunct leaves the text subtree on the fused single-scan "
+            "plan and becomes a predicate-pushed docs scan semi-joined "
+            "after the aggregation — one postings scan, no tree-path "
+            "intersect joins.",
             search(idx, "spark AND role:assistant", k=10),
+        )
+    )
+    sections.append(
+        (
+            "General filter-tree query (OR over a field predicate)",
+            "A metadata leaf under OR cannot ride the postings scan "
+            "(the peel applies to AND conjuncts only); the tree "
+            "evaluator unions the text match set with the docs-side "
+            "predicate, then scores. Still index-only on the text side.",
+            search(idx, "spark OR role:user", k=10),
         )
     )
     from miru_spark.query.batch import search_batch
