@@ -8,7 +8,11 @@ postings scan, scores group by (query_id, docint), and a window takes
 each query's top-k — one shuffle + one window for the whole batch.
 
 Supports the fused query class (AND/OR of text terms/prefixes, plus
-AND-with-NOT — the shape of the reference query set); anything else
+AND-with-NOT — the shape of the reference query set). Doc-metadata
+conjuncts (role:/tool:/ranges/authz and their negations) peel off the
+text subtree exactly like the single-query plan: ONE shared docs scan
+evaluates every masked query's predicate and the (qid, docint) pairs
+filter the post-agg relation. Anything else (phrases, OR over metadata)
 falls back to the single-query engine.
 """
 
@@ -22,6 +26,8 @@ from miru_spark.query.ast import Prefix, Term
 from miru_spark.query.bm25 import (
     _fusable,
     _fusable_not,
+    _meta_fields_known,
+    _peel_meta_conjuncts,
     bm25_contrib,
     idf_col,
     search,
@@ -44,20 +50,33 @@ def search_batch(
     fallback: list[tuple[str, str, int]] = []
     from miru_spark.query.filters import expand_multiterm
 
+    # qid -> (pos_meta, neg_meta) doc-mask conjuncts peeled off fused
+    # queries (bm25._peel_meta_conjuncts): evaluated in ONE shared docs
+    # scan and applied as a (qid, docint) join after the aggregation
+    mask_specs: dict[str, tuple[list, list]] = {}
     for qid, qs, k in queries:
         # the MultiTermQuery rewrite makes wildcard/fuzzy queries
         # fusable into the shared scan instead of falling back
         node = expand_multiterm(index, parse_query(qs, index.analyzer))
-        f = _fusable(node)
+        sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
+        if sub is None or (
+            (pos_meta or neg_meta)
+            and not _meta_fields_known(index, [*pos_meta, *neg_meta])
+        ):
+            fallback.append((qid, qs, k))
+            continue
+        f = _fusable(sub)
         neg_leaves: list = []
         if f is None:
             # AND-with-NOT joins the shared scan too: negated terms ride
             # as weightless presence rows (see bm25._fusable_not)
-            fn = _fusable_not(node)
+            fn = _fusable_not(sub)
             if fn is None:
                 fallback.append((qid, qs, k))
                 continue
             f, neg_leaves = ("and", fn[0]), fn[1]
+        if pos_meta or neg_meta:
+            mask_specs[qid] = (pos_meta, neg_meta)
         mode, leaves = f
         # dedupe leaves by (kind, value) — same AND-presence semantics as
         # the single-query path; identical leaves at different '^B'
@@ -190,6 +209,44 @@ def search_batch(
                 & (F.col("_ng") == 0)
             )
         )
+        if mask_specs:
+            # ONE docs scan evaluates every masked query's doc-level
+            # predicate; a doc emits the qids it satisfies, and the
+            # (qid, docint) pairs filter the post-agg relation — the
+            # batched twin of the single-query plan's mask semi-join
+            from miru_spark.query.filters import _meta_pred
+
+            def _mask_pred(pos_meta, neg_meta):
+                pred = F.lit(True)
+                for l in pos_meta:
+                    pred = pred & _meta_pred(l)
+                for l in neg_meta:
+                    pred = pred & ~F.coalesce(_meta_pred(l), F.lit(False))
+                return pred
+
+            qid_arr = F.array_compact(
+                F.array(
+                    *[
+                        F.when(_mask_pred(pm, nm), F.lit(q))
+                        for q, (pm, nm) in sorted(mask_specs.items())
+                    ]
+                )
+            )
+            mask_pairs = index.docs.select(
+                "docint", F.explode(qid_arr).alias("qid")
+            )
+            scored = (
+                scored.join(
+                    mask_pairs.withColumn("_mok", F.lit(1)),
+                    ["qid", "docint"],
+                    "left",
+                )
+                .where(
+                    (~F.col("qid").isin(sorted(mask_specs)))
+                    | F.col("_mok").isNotNull()
+                )
+                .drop("_mok")
+            )
         if index.tombstones is not None:
             scored = scored.join(
                 index.tombstones.select("docint"), "docint", "left_anti"
