@@ -745,14 +745,23 @@ def search_dismax(
     sum; ``0`` is pure max.
 
     Same fused single-scan plan as :func:`search` — the max/sum pair
-    rides in the ONE groupBy(docint) aggregation.
+    rides in the ONE groupBy(docint) aggregation. Doc-metadata
+    conjuncts ('(a OR b) AND role:x') peel into the standard doc mask;
+    the dismax clause set is the text subtree.
     """
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
         index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
-    f = _fusable(node)
+    # doc-metadata conjuncts ('(a OR b) AND role:x') peel into the
+    # standard doc mask — the dismax clause set is the text subtree
+    sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
+    if (pos_meta or neg_meta) and not _meta_fields_known(
+        index, [*pos_meta, *neg_meta]
+    ):
+        sub = None
+    f = _fusable(sub) if sub is not None else None
     # DisjunctionMax is inherently disjunctive: any doc matching >= 1
     # clause is a candidate. Accepting a fused AND here would silently
     # score it with OR match semantics, returning docs that do not
@@ -760,6 +769,7 @@ def search_dismax(
     # and are fine: dismax of one clause is that clause).
     if f is None or (f[0] == "and" and len(f[1]) > 1):
         raise ValueError("dismax needs a fusable OR text query")
+    mask = _doc_mask(index, None, None, pos_meta, neg_meta)
     _, leaves = f
 
     exact = sorted({l.value for l in leaves if isinstance(l, Term)})
@@ -791,6 +801,8 @@ def search_dismax(
             + F.lit(float(tie_breaker)) * (F.sum("contrib") - F.max("contrib"))
         ).alias("score")
     )
+    if mask is not None:
+        agg = agg.join(mask, "docint", "left_semi")
     if index.tombstones is not None:
         agg = agg.join(index.tombstones.select("docint"), "docint", "left_anti")
     topk = (

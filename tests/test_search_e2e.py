@@ -280,3 +280,31 @@ def test_min_should_match_implicit_and(built, small_pdf):
         ).toPandas()
         assert list(got["docint"]) == list(exp["docint"]), m
         assert list(got["score"]) == list(exp["score"]), m
+
+
+def test_dismax_metadata_conjunct_peels(built, small_pdf):
+    """'(a OR b) AND role:x' runs dismax over the text subtree with the
+    metadata conjunct as a doc mask: results equal the unmasked dismax
+    restricted to role-matching docs; a true AND of text leaves still
+    raises."""
+    import pytest as _pytest
+
+    from miru_spark.query.bm25 import search_dismax
+
+    idx, _ = built
+    q = "(w00001 OR w00002) AND role:assistant"
+    got = search_dismax(idx, q, tie_breaker=0.3, k=50).toPandas()
+    unmasked = search_dismax(
+        idx, "w00001 OR w00002", tie_breaker=0.3, k=1000
+    ).toPandas()
+    roles = small_pdf.set_index(["conv_id", "turn_idx"])["role"]
+    exp = unmasked[
+        [
+            roles.loc[(r["conv_id"], r["turn_idx"])] == "assistant"
+            for _, r in unmasked.iterrows()
+        ]
+    ].head(50)
+    assert list(got["docint"]) == list(exp["docint"])
+    assert list(got["score"]) == list(exp["score"])
+    with _pytest.raises(ValueError):
+        search_dismax(idx, "w00001 AND w00002", k=5)
