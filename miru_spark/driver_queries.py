@@ -73,8 +73,10 @@ _BM25 = (
 # summation order as the Spark zip_with/aggregate fold)
 _COS_SQL = (
     "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
-    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+    " / (greatest(sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> {a}[i] * {a}[i]))), 1e-6)"
+    " * greatest(sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> {b}[i] * {b}[i]))), 1e-6))"
 )
 
 

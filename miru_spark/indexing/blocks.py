@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from miru_spark.indexing.codec import varint_encode
+from miru_spark.indexing.codec import varint_encode, varint_lengths
 
 BLOCK_BITS = 13  # 8192-docint ranges
 SPAN_BITS = 20  # heavy-term salt granularity (2^20-docint partition spans)
@@ -43,18 +43,6 @@ BLOCKS_SCHEMA = (
     "n_docs int, max_tf int, min_dl int, max_tfc double, "
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
-
-
-def _varint_lengths(v: np.ndarray) -> np.ndarray:
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.astype(np.uint64).copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    return np.maximum((nbits + 6) // 7, 1)
 
 
 def encode_group_frame(
@@ -111,11 +99,11 @@ def encode_group_frame(
     tf_bytes = varint_encode(tfs.astype(np.uint64))
     dl_bytes = varint_encode(dl_ints)
     doc_off = np.zeros(len(pdf) + 1, dtype=np.int64)
-    np.cumsum(_varint_lengths(gaps), out=doc_off[1:])
+    np.cumsum(varint_lengths(gaps), out=doc_off[1:])
     tf_off = np.zeros(len(pdf) + 1, dtype=np.int64)
-    np.cumsum(_varint_lengths(tfs.astype(np.uint64)), out=tf_off[1:])
+    np.cumsum(varint_lengths(tfs.astype(np.uint64)), out=tf_off[1:])
     dl_off = np.zeros(len(pdf) + 1, dtype=np.int64)
-    np.cumsum(_varint_lengths(dl_ints), out=dl_off[1:])
+    np.cumsum(varint_lengths(dl_ints), out=dl_off[1:])
 
     docs_bin = [doc_bytes[doc_off[s] : doc_off[e]] for s, e in zip(starts, ends)]
     tfs_bin = [tf_bytes[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)]

@@ -17,12 +17,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value: ceil(bitlength/7), min 1.
+
+    Shared by the encoder and by block writers that need per-list
+    offsets into a concatenated encoding (one definition — the lengths
+    can never drift from what :func:`varint_encode` actually emits)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length per value: ceil(bitlength/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -31,7 +32,15 @@ def varint_encode(values: np.ndarray) -> bytes:
             break
         nbits[nz] += 1
         tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    return np.maximum((nbits + 6) // 7, 1)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = varint_lengths(v)
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)

@@ -194,8 +194,11 @@ def survivor_docs(
         "id",
         "left",
     ).withColumn("q", F.coalesce(F.col("q"), F.lit(float("-inf"))))
+    # min over (-q, id): highest quality, ties to the LOWEST id — the
+    # min_by form (not max_by with -id) keeps the tiebreak valid for
+    # STRING doc ids, which every other components function supports
     surv = j.groupBy("component").agg(
-        F.expr("max_by(id, struct(q, -id))").alias("survivor_id")
+        F.expr("min_by(id, struct(-q, id))").alias("survivor_id")
     )
     return (
         j.join(surv, "component")

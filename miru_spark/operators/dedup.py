@@ -85,6 +85,23 @@ def shingles(
     return occ.select("id", gram.alias("shingle")).distinct()
 
 
+
+def _finalize_pairs(result: DataFrame, cached: list) -> DataFrame:
+    """Materialize a (small) pair result via eager localCheckpoint and
+    release the per-call cached intermediates. Pair relations are tiny
+    next to the shingle/signature relations that produce them; without
+    this, repeated invocations (the per-batch delta API, pipeline runs)
+    accumulate cached intermediates until Spark's LRU storage eviction
+    thrashes (round-3 review finding)."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -107,11 +124,13 @@ def ngram_jaccard_pairs(
     all viral — by construction low-Jaccard unless the docs are shorter
     than k+cap tokens. ``None`` disables the cap (oracle twin).
     """
+    cached: list = []
     sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
+    cached.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df == "auto":
         max_df = max(64, -(-docs.count() // 200))
-    join_sh, capped_sh = _df_cap_split(sh, max_df)
+    join_sh, capped_sh = _df_cap_split(sh, max_df, cached)
     a, b = join_sh.alias("a"), join_sh.alias("b")
     # Fused verify: the pair join already touches every shared uncapped
     # shingle once, so groupBy-count IS the shared-shingle count — no
@@ -124,12 +143,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    shared = _add_capped_shared(shared, capped_sh)
-    return _jaccard_from_counts(shared, sizes, threshold)
+    shared = _add_capped_shared(shared, capped_sh, cached)
+    return _finalize_pairs(
+        _jaccard_from_counts(shared, sizes, threshold), cached
+    )
 
 
 def _df_cap_split(
-    sh: DataFrame, max_df: int | None
+    sh: DataFrame, max_df: int | None, cached: list | None = None
 ) -> tuple[DataFrame, DataFrame | None]:
     """Split the shingle relation on the stop-shingle df cap:
     (join-side shingles with df ≤ cap, capped shingles with df > cap —
@@ -153,6 +174,8 @@ def _df_cap_split(
     if common.limit(1).count() == 0:
         common.unpersist()
         return sh, None
+    if cached is not None:
+        cached.append(common)
     return (
         sh.join(common, "shingle", "left_anti"),
         sh.join(common, "shingle", "left_semi"),
@@ -160,7 +183,7 @@ def _df_cap_split(
 
 
 def _add_capped_shared(
-    shared: DataFrame, capped_sh: DataFrame | None
+    shared: DataFrame, capped_sh: DataFrame | None, cached: list | None = None
 ) -> DataFrame:
     """Make the fused per-pair shared count exact under the df cap.
 
@@ -176,6 +199,8 @@ def _add_capped_shared(
     # `shared` feeds two plan branches (the correction join and the
     # final count sum); persist so the big pair join runs once.
     shared = shared.persist()
+    if cached is not None:
+        cached.append(shared)
     s_cap = (
         shared.select("id_a", "id_b")
         .join(capped_sh.alias("ca"), F.col("id_a") == F.col("ca.id"))
@@ -259,11 +284,13 @@ def ngram_jaccard_pairs_delta(
     New-new pairs are found too (both sides in the delta). Results equal
     ``ngram_jaccard_pairs(docs)`` filtered to pairs touching the delta.
     """
+    cached: list = []
     sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
+    cached.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df == "auto":
         max_df = max(64, -(-docs.count() // 200))
-    join_sh, capped_sh = _df_cap_split(sh, max_df)
+    join_sh, capped_sh = _df_cap_split(sh, max_df, cached)
     # Flag delta membership so each pair's shared shingles are counted
     # exactly once (a delta-delta pair meets in both join orders):
     # keep (delta, non-delta) rows always, (delta, delta) only ordered.
@@ -284,8 +311,10 @@ def ngram_jaccard_pairs_delta(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    shared = _add_capped_shared(shared, capped_sh)
-    return _jaccard_from_counts(shared, sizes, threshold)
+    shared = _add_capped_shared(shared, capped_sh, cached)
+    return _finalize_pairs(
+        _jaccard_from_counts(shared, sizes, threshold), cached
+    )
 
 
 def minhash_signatures(
@@ -358,7 +387,7 @@ def minhash_lsh_pairs(
     )
     # verify with exact Jaccard over the SAME cached shingle sets
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_verify(sh, sizes, cand, threshold)
+    return _finalize_pairs(_jaccard_verify(sh, sizes, cand, threshold), [sh])
 
 
 SIMHASH_BITS = 32
@@ -391,9 +420,15 @@ def simhash(
         bit_id = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
+            # docs with zero tokenizable tokens have NO signature (the
+            # shingle ops and the DuckDB twin both skip them); emitting
+            # 0 would make all such docs pairwise hamming-0 "duplicates"
+            # and funnel them into one quadratic band bucket
+            keep = np.ones(len(pdf), dtype=bool)
             for i, text in enumerate(pdf["text"]):
                 toks = _PY_TOKEN.findall((text or "").lower())
                 if not toks:
+                    keep[i] = False
                     continue
                 vals, counts = np.unique(
                     np.array([h(t) for t in toks], dtype=np.uint64),
@@ -402,7 +437,9 @@ def simhash(
                 bits = (vals[:, None] >> bit_id) & np.uint64(1)  # (n,32)
                 votes = (counts[:, None] * np.where(bits == 1, 1, -1)).sum(axis=0)
                 out[i] = int(((votes > 0).astype(np.uint64) << bit_id).sum())
-            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy()[keep], "simhash": out[keep]}
+            )
 
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -468,13 +505,14 @@ def simhash_dup_pairs(
         )
         .distinct()
     )
-    return (
+    return _finalize_pairs(
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        [sig],
     )
 
 

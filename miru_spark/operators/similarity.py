@@ -35,12 +35,19 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # floored at 1e-6: a zero embedding (padding / failed encode) must
+    # yield cosine 0 against everything, not DIVIDE_BY_ZERO under
+    # Spark's default ANSI mode (the numpy twins guard the same way;
+    # the DuckDB oracle twin applies the identical greatest() floor)
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-6),
     )
 
 
@@ -442,6 +449,10 @@ def _train_centroids(
     farthest from its centroid so every list stays live."""
     rng = np.random.default_rng(seed)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # a training sample smaller than n_lists clamps the list count (a
+    # tiny corpus needs no finer quantizer) instead of crashing
+    # rng.choice(replace=False)
+    n_lists = min(n_lists, len(Xn))
     C = Xn[rng.choice(len(Xn), size=n_lists, replace=False)].copy()
     for _ in range(iters):
         sims = Xn @ C.T  # (n, n_lists) cosine since both unit-norm

@@ -128,11 +128,25 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.desc("docint")).limit(k)
 
 
+def _collect_topk(topk: DataFrame, *cached) -> DataFrame:
+    """Materialize the ≤k result rows, release the per-query caches,
+    and hand back a driver-built DataFrame with the same schema. The
+    WAND plan reuses its (term, block) working set across count/probe/
+    final jobs — caching it is what makes that reuse one computation,
+    and eager materialization is what lets the cache be dropped before
+    returning (no per-query storage leak)."""
+    spark = topk.sparkSession
+    rows = topk.collect()
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(rows, schema=topk.schema)
+
+
 def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
     """Conjunctive BM25 top-k over block segments."""
     terms = sorted(set(terms))
     n = len(terms)
-    qb = _qblocks(index, terms)
+    qb = _qblocks(index, terms).cache()
     cand = (
         qb.groupBy("block_id")
         .agg(F.count(F.lit(1)).alias("nt"))
@@ -149,7 +163,7 @@ def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _topk(_mask_tombstones(index, scored), k)
+    return _collect_topk(_topk(_mask_tombstones(index, scored), k), qb)
 
 
 def search_blocks_or(
@@ -162,8 +176,12 @@ def search_blocks_or(
     score everything in one pass instead. The pruning engages exactly
     where it matters: terms with large posting counts."""
     terms = sorted(set(terms))
-    qb = _qblocks(index, terms).withColumn("ub", F.col("idf") * _block_ub_tfc(index))
-    ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum"))
+    qb = (
+        _qblocks(index, terms)
+        .withColumn("ub", F.col("idf") * _block_ub_tfc(index))
+        .cache()
+    )
+    ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum")).cache()
     avgdl = index.avg_doclen
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +190,9 @@ def search_blocks_or(
     n_cand = ubs.count()
     if n_cand <= probe_blocks * 8:
         scored = qb.groupBy("block_id").applyInPandas(run, schema=SCORED_SCHEMA)
-        return _topk(_mask_tombstones(index, scored), k)
+        return _collect_topk(
+            _topk(_mask_tombstones(index, scored), k), qb, ubs
+        )
 
     # phase 1: exact-score the P most-promising blocks → floor
     # (masked FIRST: a tombstoned doc must not set the pruning floor)
@@ -193,4 +213,4 @@ def search_blocks_or(
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _topk(_mask_tombstones(index, scored), k)
+    return _collect_topk(_topk(_mask_tombstones(index, scored), k), qb, ubs)
