@@ -162,6 +162,7 @@ class SegmentStore:
         per-shard either way); at very high shard counts batch the
         range into groups of ``max_concurrent``.
         """
+        self.recover()  # finish/sweep any crashed prior commit first
         done = {s for s, e in self.shard_state().items() if e["delta"] == 0}
         with_shard = turns.withColumn("_shard", shard_col(self.n_shards))
         todo = [s for s in range(self.n_shards) if s not in done]
@@ -352,8 +353,31 @@ class SegmentStore:
         base_local_id: int,
         prev_watermark: tuple | None = None,
     ) -> None:
+        """Index ``rows`` as the shard's ``delta_{delta}`` unit.
+
+        Crash-atomic like the merge paths: every file is written under
+        the shard's ``_delta_tmp`` and the unit is COMMITTED by a single
+        ``os.rename`` — a crash mid-write leaves only a tmp dir (never
+        served; swept by :meth:`recover`), and a crash between the
+        rename and the manifest append is finished by
+        :meth:`_finish_delta_commit` (invoked from ``recover`` or on
+        re-entry here), which recomputes every manifest field from the
+        committed unit itself. Without this, a torn append would leave
+        a partial (unloadable) unit — or, once retried, the same rows
+        indexed twice under the SAME docint range, since the retry's
+        watermark predates the orphan.
+        """
+        import shutil
+
         t0 = time.time()
         out = self._unit_dir(shard, delta)
+        if os.path.isdir(out):
+            # rename-committed by a crashed run whose manifest append
+            # was lost: finish the manifest instead of re-indexing
+            self._finish_delta_commit(shard, self.shard_state().get(shard), delta)
+            return
+        tmp = os.path.join(os.path.dirname(out), "_delta_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
         # local dense id in (conv_id, turn_idx) order, continuing after
         # base_local_id — the shard's writer cursor. with_docint's
         # conv-offset decomposition avoids a single-partition global
@@ -367,8 +391,8 @@ class SegmentStore:
             ).cast("long"),
         )
         flat = postings_flat(base, positions=self.positions)
-        flat.write.mode("overwrite").parquet(f"{out}/postings")
-        written = self.spark.read.parquet(f"{out}/postings")
+        flat.write.mode("overwrite").parquet(f"{tmp}/postings")
+        written = self.spark.read.parquet(f"{tmp}/postings")
         (
             base  # all metadata columns flow into the row store
             .join(
@@ -380,14 +404,14 @@ class SegmentStore:
             )
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             .write.mode("overwrite")
-            .parquet(f"{out}/docs")
+            .parquet(f"{tmp}/docs")
         )
         term_stats(written.select("term", "docint", "tf")).write.mode(
             "overwrite"
-        ).parquet(f"{out}/terms")
+        ).parquet(f"{tmp}/terms")
         if self.blocks:
-            self._write_blocks(out)
-        docs = self.spark.read.parquet(f"{out}/docs")
+            self._write_blocks(tmp)
+        docs = self.spark.read.parquet(f"{tmp}/docs")
         row = docs.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doclen").alias("sdl"),
@@ -412,8 +436,9 @@ class SegmentStore:
                 wc, wt = pwc, pwt
         n_post = written.count()
         files = sorted(
-            fn for fn in os.listdir(out) if not fn.startswith(".")
+            fn for fn in os.listdir(tmp) if not fn.startswith(".")
         )
+        os.rename(tmp, out)  # commit point
         self._append_manifest(
             {
                 "shard": shard,
@@ -601,7 +626,7 @@ class SegmentStore:
         for name in os.listdir(sdir):
             stale = (
                 name.startswith(("delta_", "merged_")) and name not in live
-            ) or name in ("_merged_tmp", "_expunge_tmp")
+            ) or name in ("_merged_tmp", "_expunge_tmp", "_delta_tmp")
             if stale:
                 shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
                 n += 1
@@ -802,9 +827,66 @@ class SegmentStore:
         for n in os.listdir(sdir):
             stale = (
                 n.startswith(("delta_", "merged_")) and n not in live
-            ) or n in ("_expunge_tmp", "_merged_tmp")
+            ) or n in ("_expunge_tmp", "_merged_tmp", "_delta_tmp")
             if stale:
                 shutil.rmtree(os.path.join(sdir, n), ignore_errors=True)
+
+    def _finish_delta_commit(
+        self, shard: int, st: dict | None, delta: int
+    ) -> None:
+        """Manifest a rename-committed ``delta_{delta}`` unit whose
+        manifest append was lost to a crash. Every field is recomputed
+        from the unit itself, so recovery needs nothing from the crashed
+        process: ``next_id`` falls out of the max docint's local bits
+        (units assign dense local ids, so ``max_local + 1`` IS the
+        writer cursor ``_build_unit`` would have recorded), and the
+        watermark applies the same carry-forward-if-higher rule as
+        ``_build_unit`` (a repair unit's lower max key must not regress
+        the shard's cursor). The entry is tagged ``recovered`` for
+        lineage."""
+        out = self._unit_dir(shard, delta)
+        docs = self.spark.read.parquet(f"{out}/docs")
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doclen").alias("sdl"),
+            F.max("conv_id").alias("wc"),
+            F.max("docint").alias("mx"),
+        ).collect()[0]
+        wc = row["wc"]
+        wt = (
+            docs.where(F.col("conv_id") == wc)
+            .agg(F.max("turn_idx"))
+            .collect()[0][0]
+            if wc is not None
+            else None
+        )
+        if st is not None and st["watermark_conv"] is not None:
+            cur = (wc, int(wt)) if wc is not None else None
+            prev = (st["watermark_conv"], int(st["watermark_turn"] or 0))
+            if cur is None or prev > cur:
+                wc, wt = prev
+        next_id = (
+            (int(row["mx"]) & ((1 << SHARD_BITS) - 1)) + 1
+            if row["mx"] is not None
+            else (st["next_id"] if st else 0)
+        )
+        n_post = self.spark.read.parquet(f"{out}/postings").count()
+        self._append_manifest(
+            {
+                "shard": shard,
+                "delta": delta,
+                "watermark_conv": wc,
+                "watermark_turn": int(wt) if wt is not None else None,
+                "next_id": int(next_id),
+                "n_turns": int(row["n"]),
+                "n_postings": int(n_post),
+                "sum_doclen": int(row["sdl"] or 0),
+                "recovered": True,
+                "files": sorted(
+                    fn for fn in os.listdir(out) if not fn.startswith(".")
+                ),
+            }
+        )
 
     def _max_disk_unit(self, shard: int) -> int:
         """Highest unit index present on disk for a shard (-1 if none) —
@@ -820,28 +902,40 @@ class SegmentStore:
         return max(idx, default=-1)
 
     def recover(self) -> None:
-        """Finish any expunge whose rename committed but whose manifest
-        reset entry was never written (crash in the window between the
-        two). Detection is purely structural — an on-disk ``merged_{d}``
-        with ``d`` above the shard's manifest delta can only be a
-        committed-but-unmanifested expunge (a plain merge reuses the
-        CURRENT delta index) — so recovery needs neither the original
-        drop set nor any re-run of the expunge. Cheap when clean: one
-        listdir per shard, no Spark jobs. Invoked automatically from
-        ``load``/``append``/``expunge``."""
+        """Finish any unit commit whose rename landed but whose manifest
+        entry was never written (crash in the window between the two),
+        and sweep write-interrupted ``_delta_tmp`` dirs. Detection is
+        purely structural — an on-disk unit with a delta index above the
+        shard's manifest delta can only be such an orphan: ``merged_{d}``
+        is a committed-but-unmanifested expunge (a plain merge reuses
+        the CURRENT delta index), ``delta_{d}`` a committed-but-
+        unmanifested append/repair unit. Either is finished from the
+        unit's own contents (:meth:`_finish_expunge_commit` /
+        :meth:`_finish_delta_commit`) — recovery needs nothing from the
+        crashed process. Cheap when clean: one listdir per shard, no
+        Spark jobs. Invoked automatically from
+        ``build``/``load``/``append``/``expunge``."""
+        import shutil
+
         state = self.shard_state()
         for s in range(self.n_shards):
+            sdir = os.path.join(self.path, f"shard={s}")
+            if not os.path.isdir(sdir):
+                continue
+            # a tmp dir here means the writer died before its rename:
+            # nothing references it; the retried op rebuilds from rows
+            tmp = os.path.join(sdir, "_delta_tmp")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
             st = state.get(s)
-            if st is None:
-                continue
             top = self._max_disk_unit(s)
-            if top <= st["delta"]:
+            if top <= (st["delta"] if st is not None else -1):
                 continue
-            merged = os.path.join(
-                self.path, f"shard={s}", f"merged_{top:04d}"
-            )
-            if os.path.isdir(merged):
-                self._finish_expunge_commit(s, st, top)
+            if os.path.isdir(os.path.join(sdir, f"merged_{top:04d}")):
+                if st is not None:
+                    self._finish_expunge_commit(s, st, top)
+            elif os.path.isdir(os.path.join(sdir, f"delta_{top:04d}")):
+                self._finish_delta_commit(s, st, top)
 
     def expunge(self, drop: DataFrame) -> None:
         """Expunge tombstoned docints (``drop``: a docint column) from
