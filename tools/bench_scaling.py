@@ -87,13 +87,26 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cores: int, n_convs: int, parts: int) -> dict:
+def run_level(
+    repo: str, cores: int, n_convs: int, parts: int,
+    mem_per_core: float | None = None,
+) -> dict:
     code = WORKER.format(repo=repo)
+    env = dict(os.environ)
+    if mem_per_core is not None:
+        # cluster-faithful memory: the north rule compares N vs 4N
+        # EXECUTORS, and 4N executors bring 4N x the memory with them.
+        # A fixed local-mode heap instead QUARTERS per-task memory at
+        # the big level (8 concurrent tasks in the same heap as 2) —
+        # at large corpora that pushes only the big level into
+        # spill/GC, a local-mode artifact no real cluster has.
+        env["SPARK_DRIVER_MEM"] = f"{max(1, round(mem_per_core * cores))}g"
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n_convs), str(parts)],
         capture_output=True,
         text=True,
         timeout=1800,
+        env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -117,6 +130,10 @@ def main() -> None:
                     help="weak scaling: big level processes core_factor x "
                     "the corpus with core_factor x the partitions; "
                     "efficiency = tp_big / (factor x tp_small)")
+    ap.add_argument("--mem-per-core", type=float, default=None,
+                    help="heap GB per core, applied per level (emulates "
+                    "per-executor memory: 4N executors carry 4N x the "
+                    "memory). Default: fixed heap from SPARK_DRIVER_MEM")
     ap.add_argument("--out", default="BENCH")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -130,10 +147,12 @@ def main() -> None:
 
     small = big = None
     for _ in range(args.reps):
-        s = run_level(repo, args.small, n_convs, args.parts)
+        s = run_level(repo, args.small, n_convs, args.parts,
+                      args.mem_per_core)
         print(json.dumps(s))
         small = s if small is None else best(small, s)
-        b = run_level(repo, args.big, big_convs, big_parts)
+        b = run_level(repo, args.big, big_convs, big_parts,
+                      args.mem_per_core)
         print(json.dumps(b))
         big = b if big is None else best(big, b)
 
@@ -152,6 +171,7 @@ def main() -> None:
     ) / factor
     result = {
         "mode": "weak" if args.weak else "strong",
+        "mem_per_core_gb": args.mem_per_core,
         "shuffle_partitions": (
             {"small": args.parts, "big": big_parts} if args.weak else args.parts
         ),
