@@ -3270,6 +3270,80 @@ LIMIT 10
 )
 
 
+# positions=True store handle (phrase serving over the PERSISTED
+# sharded layout, not just the in-memory index): build → append →
+# merge → load once per corpus, mirroring _incremental_index_for
+_PHRASE_STORE_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _phrase_store_index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _PHRASE_STORE_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        store = SegmentStore(
+            spark,
+            tempfile.mkdtemp(prefix="miru_phr_"),
+            n_shards=2,
+            positions=True,
+        )
+        store.build(turns.where(F.col("conv_id") < "conv00000050"))
+        store.append(turns)
+        for s in range(store.n_shards):
+            store.merge_shard(s)
+        idx = store.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _PHRASE_STORE_CACHE[key] = idx
+    return _PHRASE_STORE_CACHE[key]
+
+
+def _q_phrase_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase over the PERSISTED positions-bearing SegmentStore
+    (build → sip-append → merge → load): positions ride the unit
+    parquet like any postings column, so the delta/merge lifecycle and
+    the phrase positions-join compose with zero extra machinery. Same
+    corpus and phrase as ``ft_phrase``; docint omitted because the
+    sharded id space (shard<<40 | local) intentionally differs from the
+    oracle's global dense ids. Top-10 scores are boundary-tie-free at
+    this corpus, so the (conv_id, turn_idx, score) set is exact."""
+    from miru_spark.query.phrase import search_phrase
+
+    idx = _phrase_store_index_for(spark, sf_dir)
+    out = search_phrase(idx, "the fast", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_register(
+    "ft_phrase_store",
+    _q_phrase_store,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM d
+  WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% the fast %'
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('fast', 'the') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
+
+
 def _q_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gatherFeatures (MiruAggregateUtil.java:77-442): top counted
     (role, tool) permutations over docs matching 'spark'."""
