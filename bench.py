@@ -155,7 +155,8 @@ def main() -> None:
                  "strut_scored_max", "strut_scored_regression",
                  "ft_bm25_repair", "delivery_log",
                  "analyze_locale_stop", "analyze_breadth", "ft_bm25_ru",
-                 "ft_bm25_batch", "ft_bm25_msm_clause"]:
+                 "ft_bm25_batch", "ft_bm25_msm_clause",
+                 "ft_phrase_store"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )
