@@ -218,3 +218,50 @@ def test_crash_at_every_commit_event_recovers(spark, tmp_path, patched):
         if state["n_docint_dupes"] != 0:
             failures.append((k, crashed, "docint_dupes"))
     assert not failures, failures
+
+
+def test_blocks_store_append_crash_recovers(spark, tmp_path, patched):
+    """The blocks=True store commits block segments inside the same
+    tmp-dir rename as the flat files; a crash between the rename and
+    the manifest append recovers to a block-serving index identical to
+    the no-crash store (block paths rank-identical to flat)."""
+    from miru_spark.query.blockmax import search_blocks_and
+
+    b0, b1, _ = _batches(spark)
+
+    def run(path, crash_at):
+        inj = Injector(str(path), crash_at)
+        patched["inj"] = inj
+        store = SegmentStore(spark, str(path), n_shards=2, blocks=True)
+        store.build(b0)
+        crashed = False
+        try:
+            store.append(b1)
+        except InjectedCrash:
+            crashed = True
+            inj.armed = False
+            store = SegmentStore(spark, str(path), n_shards=2, blocks=True)
+            store.append(b1)  # retry
+        patched["inj"] = None
+        idx = store.load()
+        assert idx.blocks is not None
+        flat = sorted(
+            (r.docint, round(r.score, 6))
+            for r in search(idx, QUERIES[0], k=1000).collect()
+        )
+        blk = sorted(
+            (r.docint, round(r.score, 6))
+            for r in search_blocks_and(
+                idx, [t for t in QUERIES[0].split() if t != "AND"], k=1000
+            ).collect()
+        )
+        return (idx.n_docs, flat, blk), crashed, inj.n
+
+    # count commit events in a clean run, then crash right before the
+    # LAST one — the append's final manifest write, the orphan window
+    clean, crashed, n_events = run(tmp_path / "clean", None)
+    assert not crashed and n_events >= 6
+    state, crashed, _ = run(tmp_path / "crash", n_events)
+    assert crashed
+    assert state == clean
+    assert clean[1] == clean[2]  # block path rank-identical to flat
