@@ -156,7 +156,7 @@ def main() -> None:
                  "ft_bm25_repair", "delivery_log",
                  "analyze_locale_stop", "analyze_breadth", "ft_bm25_ru",
                  "ft_bm25_batch", "ft_bm25_msm_clause",
-                 "ft_phrase_store"]:
+                 "ft_phrase_store", "ft_bm25_batch_mixed"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

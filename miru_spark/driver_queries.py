@@ -4943,6 +4943,73 @@ ORDER BY r.query_id, r.rank
 )
 
 
+def _q_batch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving with per-query scoring variants: a DisjunctionMax
+    query (max clause + tie x the rest) and a minimum-should-match
+    query (2-of-3 SHOULD clauses) ride the SAME shared postings scan as
+    a plain AND — dismax adds a max to the shared aggregation, msm
+    raises the presence threshold; no extra scan or shuffle. Each
+    result is identical to its single-query engine
+    (bm25.search_dismax / search_min_should_match)."""
+    from miru_spark.query.batch import search_batch
+
+    out = search_batch(
+        _index_for(spark, sf_dir),
+        [
+            ("x1", "spark OR merge", 5, {"tie": 0.3}),
+            ("x2", "spark hash join", 5, {"min_should_match": 2}),
+            ("x3", "spark AND join", 5),
+        ],
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_batch_mixed",
+    _q_batch_mixed,
+    f"""{SQL_PRELUDE},
+w AS (
+  SELECT p.docint, p.term, {_BM25} AS w
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('spark', 'merge', 'hash', 'join')
+),
+q1 AS (
+  SELECT 'x1' AS query_id, docint,
+         MAX(w) + 0.3 * (SUM(w) - MAX(w)) AS score
+  FROM w WHERE term IN ('spark', 'merge') GROUP BY docint
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+q2 AS (
+  SELECT 'x2' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('spark', 'hash', 'join') GROUP BY docint
+  HAVING COUNT(DISTINCT term) >= 2
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+q3 AS (
+  SELECT 'x3' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('spark', 'join') GROUP BY docint
+  HAVING COUNT(DISTINCT term) = 2
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+u AS (
+  SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, docint DESC) AS rank
+  FROM u
+)
+SELECT r.query_id, dl.conv_id, dl.turn_idx, r.docint,
+       ROUND(r.score, 4) AS score, r.rank::INT AS rank
+FROM r JOIN dl ON dl.docint = r.docint
+ORDER BY r.query_id, r.rank
+""",
+)
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-ordering conversion funnel over the event stream: per
     user, the earliest view, the earliest click AFTER that view, the

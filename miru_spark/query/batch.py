@@ -8,12 +8,16 @@ postings scan, scores group by (query_id, docint), and a window takes
 each query's top-k — one shuffle + one window for the whole batch.
 
 Supports the fused query class (AND/OR of text terms/prefixes, plus
-AND-with-NOT — the shape of the reference query set). Doc-metadata
-conjuncts (role:/tool:/ranges/authz and their negations) peel off the
-text subtree exactly like the single-query plan: ONE shared docs scan
-evaluates every masked query's predicate and the (qid, docint) pairs
-filter the post-agg relation. Anything else (phrases, OR over metadata)
-falls back to the single-query engine.
+AND-with-NOT — the shape of the reference query set) and, via per-query
+``opts``, the DisjunctionMax (``{"tie": t}``) and minimum-should-match
+(``{"min_should_match": m}``) scoring variants — both ride the same
+shared scan (dismax adds a max to the aggregation, msm raises the
+presence threshold). Doc-metadata conjuncts (role:/tool:/ranges/authz
+and their negations) peel off the text subtree exactly like the
+single-query plan: ONE shared docs scan evaluates every masked query's
+predicate and the (qid, docint) pairs filter the post-agg relation.
+Anything else (phrases, OR over metadata) falls back to the
+single-query engine.
 """
 
 from __future__ import annotations
@@ -30,40 +34,86 @@ from miru_spark.query.bm25 import (
     _peel_meta_conjuncts,
     bm25_contrib,
     idf_col,
+    msm_clauses,
     search,
+    search_dismax,
+    search_min_should_match,
 )
 from miru_spark.query.parser import parse_query
 
 
 def search_batch(
-    index: InvertedIndex, queries: list[tuple[str, str, int]]
+    index: InvertedIndex,
+    queries: list[tuple],
 ) -> DataFrame:
-    """``[(query_id, query_string, k)]`` → rows
+    """``[(query_id, query_string, k[, opts])]`` → rows
     (query_id, conv_id, turn_idx, docint, score, rank).
 
-    Results per query are identical to :func:`search` (rank = 1..k in
-    (score desc, docint desc) order).
+    ``opts`` (optional dict) selects a scoring variant for that query:
+
+    - ``{"tie": t}`` — DisjunctionMax with tie-breaker ``t``
+      (:func:`miru_spark.query.bm25.search_dismax` parity);
+    - ``{"min_should_match": m}`` — m-of-n SHOULD matching
+      (:func:`miru_spark.query.bm25.search_min_should_match` parity;
+      clause counting via the shared :func:`bm25.msm_clauses`, so
+      synonym/multiterm OR-groups count as ONE clause).
+
+    Results per query are identical to the corresponding single-query
+    function (rank = 1..k in (score desc, docint desc) order). All
+    variants ride the same ONE postings scan: dismax adds a per-group
+    max to the shared aggregation, msm raises the presence threshold —
+    neither costs an extra scan or shuffle.
     """
     spark = index.postings.sparkSession
-    # (qid, leaf_id, kind, value, boost, mode, n_leaves, k, neg)
+    # (qid, leaf_id, kind, value, boost, mode, required, k, neg, tie)
     fused_rows = []
-    fallback: list[tuple[str, str, int]] = []
+    fallback: list[tuple[str, str, int, dict]] = []
     from miru_spark.query.filters import expand_multiterm
 
     # qid -> (pos_meta, neg_meta) doc-mask conjuncts peeled off fused
     # queries (bm25._peel_meta_conjuncts): evaluated in ONE shared docs
     # scan and applied as a (qid, docint) join after the aggregation
     mask_specs: dict[str, tuple[list, list]] = {}
-    for qid, qs, k in queries:
+    for item in queries:
+        qid, qs, k = item[0], item[1], item[2]
+        opts = item[3] if len(item) > 3 else {}
+        tie = opts.get("tie")
+        msm = opts.get("min_should_match")
+        if tie is not None and msm is not None:
+            raise ValueError(f"{qid}: tie and min_should_match are exclusive")
         # the MultiTermQuery rewrite makes wildcard/fuzzy queries
         # fusable into the shared scan instead of falling back
         node = expand_multiterm(index, parse_query(qs, index.analyzer))
+
+        if msm is not None:
+            # mirror search_min_should_match exactly: no metadata peel
+            # (the single-query path rejects meta conjuncts), clause
+            # grouping via the shared collector, presence counted per
+            # CLAUSE (leaf_id = clause id, so an OR-group's members
+            # share one id and a term in several clauses counts each)
+            clauses = msm_clauses(node)
+            if not clauses:
+                raise ValueError(
+                    f"{qid}: min_should_match needs an OR/AND of text clauses"
+                )
+            for ci, cl in enumerate(clauses):
+                lb: dict[tuple[bool, str], float] = {}
+                for l in cl:
+                    key = (isinstance(l, Prefix), l.value)
+                    lb[key] = max(lb.get(key, 0.0), l.boost)
+                for (is_pref, val), boost in sorted(lb.items()):
+                    fused_rows.append(
+                        (qid, ci, "prefix" if is_pref else "term", val,
+                         boost, "msm", int(msm), k, False, None)
+                    )
+            continue
+
         sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
         if sub is None or (
             (pos_meta or neg_meta)
             and not _meta_fields_known(index, [*pos_meta, *neg_meta])
         ):
-            fallback.append((qid, qs, k))
+            fallback.append((qid, qs, k, opts))
             continue
         f = _fusable(sub)
         neg_leaves: list = []
@@ -71,23 +121,29 @@ def search_batch(
             # AND-with-NOT joins the shared scan too: negated terms ride
             # as weightless presence rows (see bm25._fusable_not)
             fn = _fusable_not(sub)
-            if fn is None:
-                fallback.append((qid, qs, k))
+            if fn is None or tie is not None:
+                fallback.append((qid, qs, k, opts))
                 continue
             f, neg_leaves = ("and", fn[0]), fn[1]
+        if tie is not None and f[0] == "and" and len(f[1]) > 1:
+            # DisjunctionMax is inherently disjunctive — same rejection
+            # as search_dismax (an AND must not score with OR matching)
+            raise ValueError(f"{qid}: dismax needs a fusable OR text query")
         if pos_meta or neg_meta:
             mask_specs[qid] = (pos_meta, neg_meta)
         mode, leaves = f
+        required_mode = "or" if tie is not None else mode
         # dedupe leaves by (kind, value) — same AND-presence semantics as
         # the single-query path; identical leaves at different '^B'
         # boosts collapse to one presence leaf at the MAX boost (a term
         # matched by several leaves takes the max weight, mirroring
         # bm25._query_term_weights)
-        lb: dict[tuple[bool, str], float] = {}
+        lb = {}
         for l in leaves:
             key = (isinstance(l, Prefix), l.value)
             lb[key] = max(lb.get(key, 0.0), l.boost)
         seen = sorted(lb.items())
+        required = len(seen) if required_mode == "and" else 1
         for i, ((is_pref, val), boost) in enumerate(seen):
             fused_rows.append(
                 (
@@ -96,10 +152,11 @@ def search_batch(
                     "prefix" if is_pref else "term",
                     val,
                     boost,
-                    mode,
-                    len(seen),
+                    required_mode,
+                    required,
                     k,
                     False,
+                    float(tie) if tie is not None else None,
                 )
             )
         # negated leaves: distinct leaf_ids past the positives (they are
@@ -114,10 +171,11 @@ def search_batch(
                     "prefix" if is_pref else "term",
                     val,
                     1.0,
-                    mode,
-                    len(seen),
+                    required_mode,
+                    required,
                     k,
                     True,
+                    None,
                 )
             )
 
@@ -126,7 +184,8 @@ def search_batch(
         leaves_df = spark.createDataFrame(
             fused_rows,
             "qid string, leaf_id int, kind string, value string, "
-            "boost double, mode string, n_leaves int, k int, neg boolean",
+            "boost double, mode string, required int, k int, "
+            "neg boolean, tie double",
         )
         # resolve leaves → concrete terms (prefix expansion via the
         # term-stats table, exact via equi-join)
@@ -161,8 +220,8 @@ def search_batch(
         )
         resolved = F.broadcast(
             resolved.withColumn("_lr", F.row_number().over(wlr)).select(
-                "qid", "leaf_id", "term", "w", "mode", "n_leaves", "k",
-                "neg", "_lr",
+                "qid", "leaf_id", "term", "w", "mode", "required", "k",
+                "neg", "tie", "_lr",
             )
         )
         # push a coarse term predicate into the postings SCAN: every
@@ -195,18 +254,27 @@ def search_batch(
         scored = (
             hits.groupBy("qid", "docint")
             .agg(
-                F.sum("contrib").alias("score"),
+                F.sum("contrib").alias("_sum"),
+                F.max("contrib").alias("_mx"),
                 F.count_distinct(
                     F.when(~F.col("neg"), F.col("leaf_id"))
                 ).alias("_nl"),
                 F.max(F.when(F.col("neg"), 1).otherwise(0)).alias("_ng"),
-                F.first("mode").alias("_mode"),
-                F.first("n_leaves").alias("_need"),
+                F.first("required").alias("_need"),
                 F.first("k").alias("_k"),
+                F.first("tie").alias("_tie"),
             )
-            .where(
-                ((F.col("_mode") == "or") | (F.col("_nl") == F.col("_need")))
-                & (F.col("_ng") == 0)
+            # one HAVING for every mode: AND sets required = n_leaves
+            # (count can't exceed it, so >= is ==), OR sets 1, msm m
+            .where((F.col("_nl") >= F.col("_need")) & (F.col("_ng") == 0))
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("_tie").isNotNull(),
+                    # DisjunctionMax: best clause + tie x the rest
+                    F.col("_mx")
+                    + F.col("_tie") * (F.col("_sum") - F.col("_mx")),
+                ).otherwise(F.col("_sum")),
             )
         )
         if mask_specs:
@@ -259,16 +327,22 @@ def search_batch(
         )
         parts.append(topk)
 
-    for qid, qs, k in fallback:
+    for qid, qs, k, opts in fallback:
         # rank the k already-limited rows in one Arrow batch — an
         # unpartitioned window would warn per execution, and a constant
         # partition key gets folded back to the empty spec
         from miru_spark.ranking import rank_small
 
+        if opts.get("tie") is not None:
+            res = search_dismax(index, qs, tie_breaker=opts["tie"], k=k)
+        elif opts.get("min_should_match") is not None:
+            res = search_min_should_match(
+                index, qs, m=opts["min_should_match"], k=k
+            )
+        else:
+            res = search(index, qs, k=k)
         one = rank_small(
-            search(index, qs, k=k).select(
-                F.lit(qid).alias("qid"), "docint", "score"
-            ),
+            res.select(F.lit(qid).alias("qid"), "docint", "score"),
             [("score", "desc"), ("docint", "desc")],
         ).select("qid", "docint", "score", "rank")
         parts.append(one)

@@ -610,6 +610,51 @@ def search(
     return _finish(topk)
 
 
+def msm_clauses(node) -> list[list]:
+    """Top-level SHOULD clause list for ``minimum_should_match``, or
+    ``[]`` if the (already multiterm-expanded) tree is not an OR/AND of
+    text clauses. A clause that the multi-term rewrite (wildcard/fuzzy)
+    or a synonym expansion turned into an OR-of-terms group is still
+    ONE clause, present when ANY member term is — Lucene BooleanQuery
+    counts the clause, not its rewritten terms. Shared by the
+    single-query path (:func:`search_min_should_match`) and the batched
+    scan (``batch.search_batch``) so both count identically."""
+    from miru_spark.query.ast import And as _And
+    from miru_spark.query.ast import Or as _Or
+
+    def _is_leaf(x) -> bool:
+        return isinstance(x, (Term, Prefix)) and x.field == "text"
+
+    def _collect(children) -> list[list]:
+        out: list[list] = []
+        for c in children:
+            if _is_leaf(c):
+                out.append([c])
+            elif isinstance(c, _Or):
+                members = _flat_children(c, _Or)
+                if not all(_is_leaf(x) for x in members):
+                    return []
+                out.append(members)
+            else:
+                return []
+        return out
+
+    if _is_leaf(node):
+        return [[node]]
+    if isinstance(node, _Or):
+        return _collect(node.children)
+    if isinstance(node, _And):
+        # an implicit-AND query string ("spark join merge" under the
+        # default-AND parser) is the natural way to hand this API its
+        # clause list — calling min_should_match(m) DECLARES the
+        # clauses SHOULD (Lucene msm only applies to SHOULD clauses;
+        # the caller's m-of-n intent overrides the parser's default
+        # operator), so top-level AND children count exactly like OR
+        # children
+        return _collect(_flat_children(node, _And))
+    return []
+
+
 def search_min_should_match(
     index: InvertedIndex,
     query: str | Node,
@@ -633,45 +678,12 @@ def search_min_should_match(
     present when ANY member term is (BooleanQuery counts the clause,
     not its rewritten terms).
     """
-    from miru_spark.query.ast import And as _And
-    from miru_spark.query.ast import Or as _Or
     from miru_spark.query.filters import expand_multiterm
 
     node = expand_multiterm(
         index, parse_query(query, index.analyzer) if isinstance(query, str) else query
     )
-
-    def _is_leaf(x) -> bool:
-        return isinstance(x, (Term, Prefix)) and x.field == "text"
-
-    def _collect(children) -> list[list]:
-        out: list[list] = []
-        for c in children:
-            if _is_leaf(c):
-                out.append([c])
-            elif isinstance(c, _Or):
-                members = _flat_children(c, _Or)
-                if not all(_is_leaf(x) for x in members):
-                    return []
-                out.append(members)
-            else:
-                return []
-        return out
-
-    clauses: list[list] = []
-    if _is_leaf(node):
-        clauses = [[node]]
-    elif isinstance(node, _Or):
-        clauses = _collect(node.children)
-    elif isinstance(node, _And):
-        # an implicit-AND query string ("spark join merge" under the
-        # default-AND parser) is the natural way to hand this API its
-        # clause list — calling min_should_match(m) DECLARES the
-        # clauses SHOULD (Lucene msm only applies to SHOULD clauses;
-        # the caller's m-of-n intent overrides the parser's default
-        # operator), so top-level AND children count exactly like OR
-        # children
-        clauses = _collect(_flat_children(node, _And))
+    clauses = msm_clauses(node)
     if not clauses:
         raise ValueError("min_should_match needs an OR/AND of text clauses")
     leaves = [l for cl in clauses for l in cl]

@@ -115,3 +115,47 @@ def test_batch_parity_random(built, qset, k):
         exp = search(built, qs, k=kk).toPandas()
         assert list(got["docint"]) == list(exp["docint"]), (qid, qs)
         assert np.allclose(got["score"], exp["score"], atol=1e-9), (qid, qs)
+
+
+def test_batch_dismax_and_msm_variants(built):
+    """Per-query opts route dismax / minimum_should_match through the
+    SAME shared scan, result-identical to their single-query engines;
+    plain queries in the same batch are untouched."""
+    from miru_spark.query.bm25 import search_dismax, search_min_should_match
+
+    queries = [
+        ("d1", "w00001 OR w00003 OR w00007", 10, {"tie": 0.0}),
+        ("d2", "w00001 OR w00003", 10, {"tie": 0.3}),
+        ("d3", "w00002", 10, {"tie": 0.5}),  # single clause
+        # metadata conjunct peels onto the shared docs mask
+        ("d4", "(w00001 OR w00003) AND role:user", 10, {"tie": 0.25}),
+        ("m1", "w00001 w00003 w00007", 10, {"min_should_match": 2}),
+        ("m2", "w00001 OR w00003 OR w00005 OR w00007", 8,
+         {"min_should_match": 3}),
+        # multiterm rewrite: the wildcard group is ONE clause
+        ("m3", "w00001 w0000*", 10, {"min_should_match": 2}),
+        ("p1", "w00001 AND w00004", 10),  # plain rides along
+    ]
+    batch = search_batch(built, queries).toPandas()
+    for item in queries:
+        qid, qs, k = item[0], item[1], item[2]
+        opts = item[3] if len(item) > 3 else {}
+        if opts.get("tie") is not None:
+            exp = search_dismax(built, qs, tie_breaker=opts["tie"], k=k)
+        elif opts.get("min_should_match") is not None:
+            exp = search_min_should_match(
+                built, qs, m=opts["min_should_match"], k=k
+            )
+        else:
+            exp = search(built, qs, k=k)
+        exp = exp.toPandas()
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert list(got["docint"]) == list(exp["docint"]), (qid, qs)
+        assert np.allclose(got["score"], exp["score"], atol=1e-9), (qid, qs)
+
+
+def test_batch_dismax_rejects_and(built):
+    with pytest.raises(ValueError, match="dismax"):
+        search_batch(
+            built, [("bad", "w00001 AND w00004", 5, {"tie": 0.1})]
+        ).collect()
