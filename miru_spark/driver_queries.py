@@ -1167,6 +1167,111 @@ LIMIT 15
 )
 
 
+# -- trending strategies (TrendingInjectable.java:125-187) ------------------
+
+_TREND_N = 16
+
+# dense per-term waveform over _TREND_N equal segments of the corpus ts
+# span — exact BIGINT bucketing, same math as operators/trending.py
+_TREND_SQL = f"""{{prelude}},
+tb AS (SELECT MIN(epoch(ts)::BIGINT) AS t0, MAX(epoch(ts)::BIGINT) AS t1 FROM dl),
+tw AS (
+  SELECT p.term,
+         ((epoch(dl.ts)::BIGINT - tb.t0) * {_TREND_N}) // (tb.t1 - tb.t0 + 1) AS seg
+  FROM post p JOIN dl USING (docint) CROSS JOIN tb
+),
+segc AS (SELECT term, seg, COUNT(*)::BIGINT AS n FROM tw GROUP BY 1, 2),
+dense AS (
+  SELECT t.term, g.seg::INT AS seg, COALESCE(s.n, 0)::DOUBLE AS y
+  FROM (SELECT DISTINCT term FROM segc) t
+  CROSS JOIN (SELECT unnest(range(0, {_TREND_N})) AS seg) g
+  LEFT JOIN segc s ON s.term = t.term AND s.seg = g.seg
+)
+"""
+
+
+def _trend_waveforms(spark: SparkSession, sf_dir: str):
+    from miru_spark.operators.trending import term_waveforms
+
+    idx = _index_for(spark, sf_dir)
+    return term_waveforms(idx.postings, idx.docs, n_segments=_TREND_N)
+
+
+def _q_trending_strategy(strategy: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.operators.trending import trending
+
+        return trending(
+            _trend_waveforms(spark, sf_dir), strategy, k=15, n_segments=_TREND_N
+        )
+
+    return run
+
+
+_register(
+    "trending_leader",
+    _q_trending_strategy("LEADER"),
+    _TREND_SQL.format(prelude=SQL_PRELUDE)
+    + """
+SELECT term, SUM(y)::BIGINT AS score FROM dense GROUP BY 1
+ORDER BY score DESC, term ASC LIMIT 15
+""",
+)
+
+_register(
+    "trending_highest_peak",
+    _q_trending_strategy("HIGHEST_PEAK"),
+    _TREND_SQL.format(prelude=SQL_PRELUDE)
+    + """
+SELECT term, MAX(y)::BIGINT AS score FROM dense GROUP BY 1
+ORDER BY score DESC, term ASC LIMIT 15
+""",
+)
+
+_register(
+    "trending_regression",
+    _q_trending_strategy("LINEAR_REGRESSION"),
+    _TREND_SQL.format(prelude=SQL_PRELUDE)
+    + f"""
+SELECT term, ROUND(regr_slope(y, seg / {_TREND_N - 1}.0), 4) AS score
+FROM dense GROUP BY 1
+ORDER BY score DESC, term ASC LIMIT 15
+""",
+)
+
+# PEAKS: Billauer peakdet automaton as a recursive CTE (state machine
+# per term, one step per segment — _TREND_N steps, term-count rows each)
+_register(
+    "trending_peaks",
+    _q_trending_strategy("PEAKS"),
+    _TREND_SQL.format(prelude=SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1))
+    + f""",
+maxes AS (SELECT term, MAX(y) AS mx FROM dense GROUP BY 1),
+b95 AS (SELECT quantile_cont(mx, 0.95) AS q FROM maxes),
+dlt AS (SELECT m.term, m.mx / 6 + b.q / 100 AS d FROM maxes m CROSS JOIN b95 b),
+pk AS (
+  SELECT term, -1 AS i, 1e308 AS mn, -1e308 AS mx, 1 AS lf, 0 AS np FROM dlt
+  UNION ALL
+  SELECT p.term, p.i + 1,
+         CASE WHEN p.lf = 1 AND d.y < greatest(p.mx, d.y) - t.d
+              THEN d.y ELSE least(p.mn, d.y) END,
+         CASE WHEN p.lf = 0 AND d.y > least(p.mn, d.y) + t.d
+              THEN d.y ELSE greatest(p.mx, d.y) END,
+         CASE WHEN p.lf = 1
+              THEN CASE WHEN d.y < greatest(p.mx, d.y) - t.d THEN 0 ELSE 1 END
+              ELSE CASE WHEN d.y > least(p.mn, d.y) + t.d THEN 1 ELSE 0 END END,
+         p.np + CASE WHEN p.lf = 1 AND d.y < greatest(p.mx, d.y) - t.d
+                     THEN 1 ELSE 0 END
+  FROM pk p
+  JOIN dense d ON d.term = p.term AND d.seg = p.i + 1
+  JOIN dlt t ON t.term = p.term
+)
+SELECT term, np::BIGINT AS score FROM pk WHERE i = {_TREND_N - 1}
+ORDER BY score DESC, term ASC LIMIT 15
+""",
+)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event stream at >30min gaps
     (lag + cumulative-flag — the standard Spark idiom; streaming twin

@@ -1,0 +1,135 @@
+"""Trending strategies (operators/trending.py) vs an independent
+pure-Python reference: peakdet automaton, OLS slope, leader, highest
+peak — the four reference strategies (TrendingInjectable.java:125-187).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.operators.trending import (
+    STRATEGIES,
+    term_waveforms,
+    trending,
+)
+
+
+def py_peakdet(vec, delta):
+    """Independent re-derivation of Billauer's public-domain peakdet
+    (the published MATLAB algorithm), returning the number of maxima."""
+    mn, mx = math.inf, -math.inf
+    lookformax = True
+    n = 0
+    for a in vec:
+        mx = max(mx, a)
+        mn = min(mn, a)
+        if lookformax:
+            if a < mx - delta:
+                n += 1
+                mn = a
+                lookformax = False
+        else:
+            if a > mn + delta:
+                mx = a
+                lookformax = True
+    return n
+
+
+def py_slope(vec):
+    n = len(vec)
+    xs = [i / (n - 1) for i in range(n)]
+    xbar = sum(xs) / n
+    ybar = sum(vec) / n
+    sxy = sum((x - xbar) * (y - ybar) for x, y in zip(xs, vec))
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    return sxy / sxx
+
+
+WAVES = [
+    ("flat", [5, 5, 5, 5, 5, 5, 5, 5]),
+    ("rise", [0, 1, 2, 3, 4, 5, 6, 7]),
+    ("spike", [0, 0, 9, 0, 0, 8, 0, 0]),
+    ("two_peaks", [0, 5, 0, 0, 6, 0, 1, 0]),
+    ("fall", [9, 7, 5, 3, 2, 1, 0, 0]),
+    ("saw", [1, 4, 1, 4, 1, 4, 1, 4]),
+]
+
+
+@pytest.fixture(scope="module")
+def wave_df(spark):
+    return spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in WAVES],
+        "term string, counts array<double>",
+    )
+
+
+def _b95(values):
+    """R-7 linear-interpolated percentile (Spark percentile /
+    DuckDB quantile_cont)."""
+    s = sorted(values)
+    pos = 0.95 * (len(s) - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, len(s) - 1)
+    return s[lo] + (pos - lo) * (s[hi] - s[lo])
+
+
+def test_leader_and_highest(wave_df):
+    rows = {
+        r["term"]: r["score"]
+        for r in trending(wave_df, "LEADER", k=10, n_segments=8).collect()
+    }
+    assert rows == {k: sum(v) for k, v in WAVES}
+    rows = {
+        r["term"]: r["score"]
+        for r in trending(wave_df, "HIGHEST_PEAK", k=10, n_segments=8).collect()
+    }
+    assert rows == {k: max(v) for k, v in WAVES}
+
+
+def test_regression_slope(wave_df):
+    rows = {
+        r["term"]: r["score"]
+        for r in trending(wave_df, "LINEAR_REGRESSION", k=10, n_segments=8).collect()
+    }
+    for k, v in WAVES:
+        assert rows[k] == pytest.approx(round(py_slope(v), 4), abs=1e-9), k
+
+
+def test_peaks_matches_python_automaton(wave_df):
+    maxes = [max(v) for _, v in WAVES]
+    q = _b95(maxes)
+    expected = {
+        k: py_peakdet(v, max(v) / 6 + q / 100) for k, v in WAVES
+    }
+    rows = {
+        r["term"]: r["score"]
+        for r in trending(wave_df, "PEAKS", k=10, n_segments=8).collect()
+    }
+    assert rows == expected
+    # sanity on the shape: the two-spike wave has 2 peaks, flat has 0
+    assert expected["spike"] == 2 and expected["flat"] == 0
+
+
+def test_term_waveforms_dense(spark, tiny_turns):
+    from miru_spark.index import InvertedIndex
+
+    idx = InvertedIndex.build(tiny_turns, positions=False, cache=False)
+    wf = term_waveforms(idx.postings, idx.docs, n_segments=12)
+    rows = wf.collect()
+    assert rows and all(len(r["counts"]) == 12 for r in rows)
+    # total counts across all waveforms == total postings rows
+    assert sum(sum(r["counts"]) for r in rows) == idx.postings.count()
+    # every strategy produces a full top-k with a total order
+    for s in STRATEGIES:
+        out = trending(wf, s, k=5, n_segments=12).collect()
+        assert len(out) == 5
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_unknown_strategy_raises(wave_df):
+    with pytest.raises(ValueError):
+        trending(wave_df, "BOGUS")
