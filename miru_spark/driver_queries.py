@@ -2691,6 +2691,32 @@ FROM h
 )
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode: synthetic PNG/GIF/JPEG payloads (geometry a
+    pure function of doc_id) parsed back by the byte-level header
+    parser — the oracle recomputes the expected geometry in SQL, so a
+    wrong parse (not just a wrong fake) fails the hash."""
+    from miru_spark.operators.multimodal import documents_as_images, extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(documents_as_images(d)).select(
+        "id", "n_bytes", "width", "height", "fmt"
+    )
+
+
+_register(
+    "multimodal_decode",
+    _q_multimodal_decode,
+    """
+SELECT doc_id AS id, 64::INT AS n_bytes,
+       (16 + doc_id % 640)::INT AS width,
+       (16 + (doc_id * 7) % 480)::INT AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt
+FROM documents
+""",
+)
+
+
 # per-process ANN index cache: built once per corpus, probed per query —
 # the persisted-index serving shape (at real scale LshIndex.save/load
 # replaces this with table-partitioned parquet)
@@ -5102,6 +5128,67 @@ q3 AS (
 u AS (
   SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
 ),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, docint DESC) AS rank
+  FROM u
+)
+SELECT r.query_id, dl.conv_id, dl.turn_idx, r.docint,
+       ROUND(r.score, 4) AS score, r.rank::INT AS rank
+FROM r JOIN dl ON dl.docint = r.docint
+ORDER BY r.query_id, r.rank
+""",
+)
+
+
+def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving with an exact phrase in the batch: the phrase's
+    (term, offset) leaves ride a shared positions scan (explode of
+    shift-normalized starts + one count-distinct groupBy — the batched
+    twin of phrase_match_docs), a plain AND rides the shared term scan;
+    both rank-identical to their single-query engines
+    (query/batch.py search_batch phrase block)."""
+    from miru_spark.query.batch import search_batch
+
+    out = search_batch(
+        _index_for(spark, sf_dir, positions=True),
+        [
+            ("p1", '"the fast"', 5),
+            ("a1", "spark AND join", 5),
+        ],
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_batch_phrase",
+    _q_batch_phrase,
+    f"""{SQL_PRELUDE},
+w AS (
+  SELECT p.docint, p.term, {_BM25} AS w
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('the', 'fast', 'spark', 'join')
+),
+m AS (
+  SELECT docint FROM d
+  WHERE ' ' || array_to_string({_TOK}, ' ') || ' ' LIKE '% the fast %'
+),
+p1 AS (
+  SELECT 'p1' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('the', 'fast') AND docint IN (SELECT docint FROM m)
+  GROUP BY docint
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+a1 AS (
+  SELECT 'a1' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('spark', 'join') GROUP BY docint
+  HAVING COUNT(DISTINCT term) = 2
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM a1),
 r AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score DESC, docint DESC) AS rank

@@ -373,8 +373,16 @@ class SegmentStore:
         out = self._unit_dir(shard, delta)
         if os.path.isdir(out):
             # rename-committed by a crashed run whose manifest append
-            # was lost: finish the manifest instead of re-indexing
-            self._finish_delta_commit(shard, self.shard_state().get(shard), delta)
+            # was lost: finish the manifest instead of re-indexing.
+            # Only truly UNmanifested units are finished — a unit with a
+            # live manifest entry (e.g. build() re-entered on a store
+            # that has later appends) must not be re-appended, or the
+            # duplicate entry would double-count into the per-shard
+            # n_docs/avg_doclen folds on load.
+            if not any(
+                e["shard"] == shard and e["delta"] == delta for e in self.manifest()
+            ):
+                self._finish_delta_commit(shard, self.shard_state().get(shard), delta)
             return
         tmp = os.path.join(os.path.dirname(out), "_delta_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -901,7 +909,7 @@ class SegmentStore:
         ]
         return max(idx, default=-1)
 
-    def recover(self) -> None:
+    def recover(self, sweep_tmp: bool = True) -> None:
         """Finish any unit commit whose rename landed but whose manifest
         entry was never written (crash in the window between the two),
         and sweep write-interrupted ``_delta_tmp`` dirs. Detection is
@@ -914,7 +922,15 @@ class SegmentStore:
         :meth:`_finish_delta_commit`) — recovery needs nothing from the
         crashed process. Cheap when clean: one listdir per shard, no
         Spark jobs. Invoked automatically from
-        ``build``/``load``/``append``/``expunge``."""
+        ``build``/``load``/``append``/``expunge``.
+
+        ``sweep_tmp=False`` (the read-only ``load`` path) skips the
+        ``_delta_tmp`` sweep: tmp dirs are only dead weight when no
+        writer is alive, and a concurrent writer mid-``_build_unit``
+        would lose its in-flight files to the sweep. Write paths keep
+        the sweep — they hold the single-writer role by contract (the
+        manifest lock is in-process; cross-process writers must be
+        externally serialized, one writer per store)."""
         import shutil
 
         state = self.shard_state()
@@ -925,7 +941,7 @@ class SegmentStore:
             # a tmp dir here means the writer died before its rename:
             # nothing references it; the retried op rebuilds from rows
             tmp = os.path.join(sdir, "_delta_tmp")
-            if os.path.isdir(tmp):
+            if sweep_tmp and os.path.isdir(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
             st = state.get(s)
             top = self._max_disk_unit(s)
@@ -1099,7 +1115,9 @@ class SegmentStore:
         """Serving handle over the live store, or — with ``as_of`` — over
         the store as of an earlier :meth:`snapshot_id` (raises
         ``SnapshotExpiredError`` if compaction has rewritten it)."""
-        self.recover()
+        # read-only path: finish orphaned commits but leave _delta_tmp
+        # alone — a concurrent writer may be mid-_build_unit
+        self.recover(sweep_tmp=False)
         man = self.manifest()
         if as_of is not None:
             man = man[: int(as_of)]

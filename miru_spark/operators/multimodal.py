@@ -2,16 +2,23 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs over ``mapInPandas``. The decode libraries (PIL/ffmpeg/…)
-are NOT in this container, so the actual decoders are stubbed behind an
-import-try — the Spark-side plumbing (schema, batch shape, partition
-behavior, deterministic fake features) is real and tested, and swapping
-the stub for a real decoder changes one function.
+pandas UDFs over ``mapInPandas``.
+
+Geometry decode is REAL for PNG / JPEG / GIF: the container formats
+put width/height in fixed header positions (PNG IHDR, JPEG SOFn
+segment, GIF logical screen descriptor), so :func:`parse_image_header`
+reads them from raw bytes with no codec library. Payloads that are not
+one of the three formats fall back to a clearly-marked DETERMINISTIC
+fake geometry derived from the content hash, so text-bytes adapters
+stay oracle-checkable. Pixel-level decode (and audio/video frame
+extraction) would need PIL/ffmpeg, which are absent in this container —
+that layer stays stubbed; swapping it in changes one function.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -22,38 +29,123 @@ FEATURE_SCHEMA = (
     "id long, n_bytes int, content_hash long, width int, height int, fmt string"
 )
 
+# JPEG start-of-frame markers that carry geometry (C0-CF minus the
+# non-SOF C4/C8/CC per ITU T.81 table B.1)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+# standalone markers with no length field (RSTn, TEM)
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}
 
-def _try_real_decoder():
-    try:  # pragma: no cover - decode libs absent in this container
-        from PIL import Image  # noqa: F401
 
-        return Image
-    except ImportError:
+def parse_image_header(b: bytes | None) -> tuple[int, int, str] | None:
+    """(width, height, fmt) from raw container bytes, or None if the
+    payload is not a recognizable PNG / JPEG / GIF.
+
+    Pure byte arithmetic — no codec import:
+    - PNG: 8-byte signature, then the IHDR chunk (required first);
+      width/height are the two big-endian u32 at offsets 16/20.
+    - GIF: ``GIF87a``/``GIF89a``, then the logical screen descriptor's
+      two little-endian u16.
+    - JPEG: walk the marker segments from SOI until a SOFn frame
+      header; height/width are big-endian u16 at +5/+7 into it.
+    """
+    if not b:
         return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return (w, h, "png")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return (w, h, "gif")
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None  # marker desync: not a parseable JPEG
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                i += 2
+                continue
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return (w, h, "jpeg")
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def synth_image_payload(kind: str, width: int, height: int, pad_to: int = 64) -> bytes:
+    """Deterministic minimal valid header bytes for ``kind`` —
+    geometry round-trips through :func:`parse_image_header`. Used by
+    tests and the oracle-checked decode query (the container ships no
+    image fixtures); zero-padded to a fixed length so byte counts are
+    a pure function of ``pad_to``."""
+    if kind == "png":
+        ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        out = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # CRC not validated by the header parse
+        )
+    elif kind == "gif":
+        out = b"GIF89a" + struct.pack("<HH", width, height)
+    elif kind == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 17)
+            + bytes([8])
+            + struct.pack(">HH", height, width)
+            + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        out = b"\xff\xd8" + app0 + sof0
+    else:
+        raise ValueError(f"unknown payload kind {kind!r}")
+    if len(out) < pad_to:
+        out += bytes(pad_to - len(out))
+    return out
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Decode a batch of image payloads → (width, height, fmt).
+    """Decode a batch of image payloads → (content_hash, width,
+    height, fmt).
 
-    With a real codec present this opens each payload; here it derives
-    a DETERMINISTIC fake geometry from the content hash so the full
-    pipeline (schema, joins, aggregations) is exercisable and
-    oracle-checkable. The fake is clearly marked.
+    PNG/JPEG/GIF geometry is parsed from the real header bytes;
+    anything else falls back to the DETERMINISTIC fake geometry
+    (hash-derived, fmt='fake') so non-image adapters remain exercisable
+    and oracle-checkable.
     """
-    pil = _try_real_decoder()
-    if pil is not None:  # pragma: no cover
-        raise NotImplementedError(
-            "real decode path intentionally unimplemented in this build"
-        )
     hashes = [
         int(hashlib.md5(b or b"").hexdigest()[:15], 16) for b in payloads
     ]
+    widths, heights, fmts = [], [], []
+    for b, h in zip(payloads, hashes):
+        parsed = parse_image_header(b)
+        if parsed is not None:
+            w, ht, fmt = parsed
+        else:
+            w, ht, fmt = 1 + (h % 1920), 1 + ((h // 1920) % 1080), "fake"
+        widths.append(w)
+        heights.append(ht)
+        fmts.append(fmt)
     return pd.DataFrame(
         {
             "content_hash": hashes,
-            "width": [1 + (h % 1920) for h in hashes],
-            "height": [1 + ((h // 1920) % 1080) for h in hashes],
-            "fmt": ["fake" for _ in hashes],
+            "width": widths,
+            "height": heights,
+            "fmt": fmts,
         }
     )
 
@@ -86,3 +178,24 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("payload")
     )
+
+
+def documents_as_images(docs: DataFrame) -> DataFrame:
+    """Adapter: deterministic synthetic image payloads keyed off
+    doc_id — kind cycles png/gif/jpeg, geometry is doc_id arithmetic —
+    so the REAL header-parse path is exercisable (and its oracle can
+    recompute the expected geometry in pure SQL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["png", "gif", "jpeg"]
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                synth_image_payload(
+                    kinds[int(i) % 3], 16 + int(i) % 640, 16 + (int(i) * 7) % 480
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, schema="id long, payload binary")

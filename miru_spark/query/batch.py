@@ -16,8 +16,17 @@ presence threshold). Doc-metadata conjuncts (role:/tool:/ranges/authz
 and their negations) peel off the text subtree exactly like the
 single-query plan: ONE shared docs scan evaluates every masked query's
 predicate and the (qid, docint) pairs filter the post-agg relation.
-Anything else (phrases, OR over metadata) falls back to the
-single-query engine.
+
+Exact phrases batch too (positions-bearing index): each phrase's
+(term, offset) leaves join ONE shared positions scan; a phrase
+occurrence at start s puts leaf i at position s+i, so exploding the
+shift-normalized positions and counting distinct leaves per
+(qid, docint, start) finds occurrences for EVERY phrase in the batch in
+one groupBy — the batched twin of ``phrase_match_docs``'s
+array-intersect chain. Scoring rides the same scan (member terms score
+as ordinary leaves, ``search_phrase`` parity). Anything else (ordered
+proximity ``"a b"~N``, OR over metadata, meta-masked phrases) falls
+back to the single-query engine.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from miru_spark.index import InvertedIndex
-from miru_spark.query.ast import Prefix, Term
+from miru_spark.query.ast import Phrase, Prefix, Term
 from miru_spark.query.bm25 import (
     _fusable,
     _fusable_not,
@@ -67,6 +76,8 @@ def search_batch(
     spark = index.postings.sparkSession
     # (qid, leaf_id, kind, value, boost, mode, required, k, neg, tie)
     fused_rows = []
+    # (qid, off, term, boost, k, n_leaves) — exact-phrase leaves
+    phrase_rows: list[tuple] = []
     fallback: list[tuple[str, str, int, dict]] = []
     from miru_spark.query.filters import expand_multiterm
 
@@ -109,6 +120,22 @@ def search_batch(
             continue
 
         sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
+        if (
+            isinstance(sub, Phrase)
+            and sub.slop == 0
+            and len(sub.values) >= 2
+            and not pos_meta
+            and not neg_meta
+            and tie is None
+            and "positions" in index.postings.columns
+        ):
+            # exact phrase → shared positional scan (see module doc);
+            # leaf per (term, offset) occurrence in the phrase
+            for off, val in enumerate(sub.values):
+                phrase_rows.append(
+                    (qid, off, val, float(sub.boost), k, len(sub.values))
+                )
+            continue
         if sub is None or (
             (pos_meta or neg_meta)
             and not _meta_fields_known(index, [*pos_meta, *neg_meta])
@@ -326,6 +353,75 @@ def search_batch(
             .select("qid", "docint", "score", "rank")
         )
         parts.append(topk)
+
+    if phrase_rows:
+        pl = spark.createDataFrame(
+            phrase_rows,
+            "qid string, off int, term string, boost double, k int, n_leaves int",
+        )
+        # resolve member terms against the term-stats table (idf), pick
+        # ONE scoring row per (qid, term) — a term repeated at several
+        # phrase offsets scores once (search_phrase parity: distinct
+        # member terms), lowest offset wins deterministically
+        terms_tbl = index.terms.select(
+            "term", idf_col(F.col("df"), index.n_docs).alias("idf")
+        )
+        wpr = Window.partitionBy("qid", "term").orderBy(F.asc("off"))
+        plw = F.broadcast(
+            pl.join(terms_tbl, "term")
+            .withColumn("_lr", F.row_number().over(wpr))
+            .withColumn("w", F.col("idf") * F.col("boost"))
+        )
+        # ONE positions-bearing postings scan with the union term
+        # predicate pushed (In(term, …) → parquet row-group pruning)
+        terms_needed = sorted({r[2] for r in phrase_rows})
+        pscan = index.postings.where(F.col("term").isin(terms_needed))
+        pj = pscan.join(plw, "term")
+        # occurrence check: leaf i of a phrase occurrence starting at s
+        # sits at position s+i, so shift-normalized starts that carry
+        # ALL leaves are occurrences — one groupBy for every phrase
+        occ = pj.select(
+            "qid",
+            "docint",
+            "off",
+            "n_leaves",
+            F.explode("positions").alias("p"),
+        ).withColumn("start", F.col("p") - F.col("off"))
+        matched = (
+            occ.groupBy("qid", "docint", "start")
+            .agg(
+                F.count_distinct("off").alias("_no"),
+                F.first("n_leaves").alias("_need"),
+            )
+            .where(F.col("_no") == F.col("_need"))
+            .select("qid", "docint")
+            .distinct()
+        )
+        scored_p = (
+            pj.where(F.col("_lr") == 1)
+            .withColumn(
+                "contrib",
+                bm25_contrib(
+                    F.col("tf").cast("double"),
+                    F.col("w"),
+                    F.col("doclen").cast("double"),
+                    index.avg_doclen,
+                ),
+            )
+            .groupBy("qid", "docint")
+            .agg(F.sum("contrib").alias("score"), F.first("k").alias("_k"))
+            .join(matched, ["qid", "docint"], "left_semi")
+        )
+        if index.tombstones is not None:
+            scored_p = scored_p.join(
+                index.tombstones.select("docint"), "docint", "left_anti"
+            )
+        wp = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docint"))
+        parts.append(
+            scored_p.withColumn("rank", F.row_number().over(wp))
+            .where(F.col("rank") <= F.col("_k"))
+            .select("qid", "docint", "score", "rank")
+        )
 
     for qid, qs, k, opts in fallback:
         # rank the k already-limited rows in one Arrow batch — an

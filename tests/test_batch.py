@@ -23,6 +23,12 @@ QUERIES = [
     ("q9", "w00001^2 OR w00003", 5),  # '^B' boost fuses too
     ("q10", "w00001^2.5 AND w00004", 5),
     ("q11", "w00001^3 OR w0000*", 5),  # boosted leaf overlapping a prefix
+    ("p1", '"w00000 w00001"', 10),  # exact phrase: shared positional scan
+    ("p2", '"w00001 w00000"', 10),  # order matters
+    ("p3", '"w00000 w00000"', 5),  # repeated member term scores once
+    ("p4", '"w00002 w00003"^2', 5),  # phrase boost
+    ("p5", 'role:user AND "w00000 w00001"', 5),  # masked phrase → fallback
+    ("p6", '"w00000 w00001"~2', 5),  # proximity → fallback
 ]
 
 

@@ -143,6 +143,47 @@ def test_multimodal_plumbing(spark, documents):
     assert pdf.sort_values("id").equals(pdf2.sort_values("id"))
 
 
+def test_image_header_parse_roundtrip():
+    from miru_spark.operators.multimodal import (
+        parse_image_header,
+        synth_image_payload,
+    )
+
+    for kind in ("png", "gif", "jpeg"):
+        for w, h in [(1, 1), (16, 480), (640, 16), (1920, 1080), (65535, 1)]:
+            got = parse_image_header(synth_image_payload(kind, w, h))
+            assert got == (w, h, kind), (kind, w, h, got)
+    # adversarial / non-image bytes → None (fake-geometry fallback)
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) is None
+    assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00") is None  # desync
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x01") is None  # len<2
+    # truncated SOF
+    trunc = synth_image_payload("jpeg", 9, 9, pad_to=0)[:25]
+    assert parse_image_header(trunc) is None
+    # JPEG with fill bytes and a restart marker before SOF still parses
+    weird = (
+        b"\xff\xd8\xff\xff\xd0"
+        + synth_image_payload("jpeg", 33, 44, pad_to=0)[2:]
+    )
+    assert parse_image_header(weird) == (33, 44, "jpeg")
+
+
+def test_multimodal_real_decode(spark, documents):
+    from miru_spark.operators.multimodal import (
+        documents_as_images,
+        extract_features,
+    )
+
+    pdf = extract_features(documents_as_images(documents)).toPandas()
+    assert set(pdf["fmt"]) == {"png", "gif", "jpeg"}
+    assert (pdf["width"] == 16 + pdf["id"] % 640).all()
+    assert (pdf["height"] == 16 + (pdf["id"] * 7) % 480).all()
+    assert (pdf["n_bytes"] == 64).all()
+
+
 def test_shingle_short_doc_guard(spark):
     from miru_spark.operators.dedup import shingles
 
