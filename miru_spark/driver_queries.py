@@ -5141,6 +5141,73 @@ ORDER BY r.query_id, r.rank
 )
 
 
+def _q_sync_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse (backfill) sync cursor (MiruSyncSender.java:74-112
+    forward+reverse progress pair, :530-565 reverse traversal): the
+    sender is created against a source that ALREADY has two
+    generations of history; forward rounds ship only data appended
+    after the relationship started, reverse rounds backfill the
+    historical units newest-first through the key-dedupe repair path.
+    BM25 over the destination must equal the full-corpus oracle —
+    proving forward+reverse covered everything exactly once."""
+    import tempfile
+
+    from miru_spark.indexing.incremental import SegmentStore
+    from miru_spark.indexing.sync import SyncSender
+
+    key = f"{id(spark)}:{sf_dir}:sync_rev"
+    if key not in _INCR_CACHE:
+        turns = transcripts_from_documents(spark, sf_dir)
+        src = SegmentStore(spark, tempfile.mkdtemp(prefix="miru_revsrc_"), n_shards=2)
+        dest = SegmentStore(spark, tempfile.mkdtemp(prefix="miru_revdst_"), n_shards=3)
+        src.build(turns.where(F.col("conv_id") < "conv00000030"))
+        src.append(
+            turns.where(
+                (F.col("conv_id") >= "conv00000030")
+                & (F.col("conv_id") < "conv00000060")
+            )
+        )
+        sender = SyncSender(src, dest)
+        sender.init_reverse()  # history -> the reverse walker
+        src.append(turns)  # new data arrives after the relationship
+        sender.sync()  # forward ships ONLY the new units
+        while sender.reverse_pending():  # backfill newest-first
+            sender.sync_reverse(batch=2)
+        idx = dest.load()
+        idx.postings = idx.postings.cache()
+        idx.terms = idx.terms.cache()
+        _INCR_CACHE[key] = idx
+    out = search(_INCR_CACHE[key], "stream AND filter", k=10)
+    return out.select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+_register(
+    "ft_bm25_sync_reverse",
+    _q_sync_reverse,
+    f"""{SQL_PRELUDE},
+m AS (
+  SELECT docint FROM post WHERE term IN ('stream','filter')
+  GROUP BY docint HAVING COUNT(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT p.docint, SUM({_BM25}) AS score
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('stream','filter') AND p.docint IN (SELECT docint FROM m)
+  GROUP BY 1
+)
+SELECT dl.conv_id, dl.turn_idx, ROUND(ct.score, 4) AS score
+FROM contrib ct
+JOIN dl ON dl.docint = ct.docint
+ORDER BY ct.score DESC LIMIT 10
+""",
+)
+
+
 def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched serving with an exact phrase in the batch: the phrase's
     (term, offset) leaves ride a shared positions scan (explode of

@@ -27,6 +27,26 @@ Spark-native re-expression over :class:`SegmentStore`:
 At scale each round moves only the delta units since the last cursor, so
 sync cost is proportional to NEW data, never to store size; rounds are
 one Spark read + one append job regardless of shard count.
+
+**Reverse (backfill) cursor**: the reference keeps forward AND reverse
+progress per (tenant, partition) — when a sync relationship is created
+against a tenant that already has history, the forward cursor starts at
+the largest partition and ships new data, while the reverse cursor
+walks partitions NEWEST-FIRST back toward the oldest, backfilling
+history so recent data lands at the destination first
+(``MiruSyncSender.java:74-112`` progress types,
+``:530-565`` reverse traversal, ``:800`` ``partitionId.prev()``
+advance, ``:843-856`` initial cursor pair commit). Spark-native twin:
+:meth:`SyncSender.init_reverse` snapshots the source's current live
+units as the backfill queue (newest-first, excluded from forward
+rounds); each :meth:`SyncSender.sync_reverse` round pops the next
+unit(s), ships only the rows the destination doesn't already hold (an
+anti-join on the (conv_id, turn_idx) activity key — the same
+destination-dedupes contract), and persists the shrunken queue
+tmp+rename, so a crash mid-round re-ships at most the in-flight batch.
+Backfilled rows land through :meth:`SegmentStore.repair`'s insert path
+(their keys predate the destination watermark, so a plain append would
+silently drop them as stale).
 """
 
 from __future__ import annotations
@@ -53,28 +73,43 @@ class SyncSender:
 
     # -- progress cursor ----------------------------------------------------
 
-    def shipped_units(self) -> set[str]:
+    def _progress(self) -> dict:
         if not os.path.exists(self.progress_path):
-            return set()
+            return {"units": [], "reverse_pending": None}
         with open(self.progress_path) as f:
-            return set(json.load(f)["units"])
+            p = json.load(f)
+        p.setdefault("reverse_pending", None)
+        return p
 
-    def _record(self, units: set[str]) -> None:
+    def shipped_units(self) -> set[str]:
+        return set(self._progress()["units"])
+
+    def _record(self, units: set[str], reverse_pending: list[str] | None) -> None:
+        # the cursor may be written before the destination's first unit
+        # (init_reverse on a fresh relationship) — ensure its dir exists
+        os.makedirs(os.path.dirname(self.progress_path) or ".", exist_ok=True)
         tmp = self.progress_path + "._tmp"
         with open(tmp, "w") as f:
-            json.dump({"units": sorted(units)}, f)
+            json.dump(
+                {"units": sorted(units), "reverse_pending": reverse_pending}, f
+            )
         os.replace(tmp, self.progress_path)
 
     # -- one sync round -----------------------------------------------------
 
     def pending_units(self) -> list[str]:
         """Source units not yet shipped (unit path is the cursor key,
-        relative to the source root so the cursor survives moves)."""
-        shipped = self.shipped_units()
+        relative to the source root so the cursor survives moves).
+        Units queued for the reverse walker are NOT forward-pending —
+        each cursor owns its direction, like the reference's paired
+        forward/reverse progress records."""
+        p = self._progress()
+        shipped = set(p["units"])
+        rq = set(p["reverse_pending"] or [])
         out = []
         for u in self.src.live_units():
             rel = os.path.relpath(u, self.src.path)
-            if rel not in shipped:
+            if rel not in shipped and rel not in rq:
                 out.append(u)
         return sorted(out)
 
@@ -90,7 +125,80 @@ class SyncSender:
         turns = docs.select(*TURN_COLS)
         n_rows = turns.count()
         self.dest.append(turns)
-        shipped = self.shipped_units()
+        p = self._progress()
+        shipped = set(p["units"])
         shipped.update(os.path.relpath(u, self.src.path) for u in pending)
-        self._record(shipped)
+        self._record(shipped, p["reverse_pending"])
         return {"units": len(pending), "rows": n_rows}
+
+    # -- reverse (backfill) rounds ------------------------------------------
+
+    def init_reverse(self) -> int:
+        """Start a backfill: snapshot the source's CURRENT live units as
+        the reverse queue, newest-first (highest unit index — the
+        newest data — ships first, the reference's reverse traversal
+        order), excluding anything already shipped. Idempotent: a
+        second call while a queue exists is a no-op. Returns the queue
+        length."""
+        p = self._progress()
+        if p["reverse_pending"] is not None:
+            return len(p["reverse_pending"])
+        shipped = set(p["units"])
+        rels = [
+            os.path.relpath(u, self.src.path)
+            for u in self.src.live_units()
+        ]
+        queue = sorted(
+            (r for r in rels if r not in shipped),
+            key=lambda r: (self.src._unit_span(os.path.basename(r))[1], r),
+            reverse=True,
+        )
+        self._record(shipped, queue)
+        return len(queue)
+
+    def reverse_pending(self) -> list[str]:
+        """Reverse-queue unit names still to backfill (newest-first);
+        empty when no queue is active or the walk is done."""
+        p = self._progress()
+        # a source merge may have compacted queued deltas away — their
+        # rows ride the merged_ unit through the forward path instead
+        live = {
+            os.path.relpath(u, self.src.path) for u in self.src.live_units()
+        }
+        return [r for r in (p["reverse_pending"] or []) if r in live]
+
+    def sync_reverse(self, batch: int = 1) -> dict:
+        """One backfill round: ship the next ``batch`` queued units'
+        rows that the destination does not already hold.
+
+        The key anti-join (conv_id, turn_idx) makes re-delivery safe —
+        a crash after the repair but before the cursor write re-ships
+        the same unit and every row arbitrates to already-present.
+        Rows land via ``dest.repair`` (plain-insert arbitration), since
+        their keys predate the destination's shard watermarks."""
+        queue = self.reverse_pending()
+        take, rest = queue[:batch], queue[batch:]
+        if not take:
+            p = self._progress()
+            if p["reverse_pending"]:
+                # everything left was compacted away: close the queue
+                self._record(set(p["units"]), rest)
+            return {"units": 0, "rows": 0}
+        docs = self.src.spark.read.parquet(
+            *[os.path.join(self.src.path, r, "docs") for r in take]
+        )
+        turns = docs.select(*TURN_COLS)
+        if self.dest.live_units():
+            held = self.dest.load().docs.select("conv_id", "turn_idx")
+            fresh = turns.join(held, ["conv_id", "turn_idx"], "left_anti")
+            n_rows = fresh.count()
+            if n_rows:
+                self.dest.repair(fresh)
+        else:
+            n_rows = turns.count()
+            self.dest.append(turns)
+        p = self._progress()
+        shipped = set(p["units"])
+        shipped.update(take)
+        self._record(shipped, rest)
+        return {"units": len(take), "rows": n_rows}

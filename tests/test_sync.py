@@ -73,6 +73,95 @@ def test_sync_after_source_merge_no_duplicates(spark, tiny_turns, tmp_path):
     assert dest.load().n_docs == n_before
 
 
+def test_reverse_backfill_newest_first(spark, tiny_turns, tmp_path):
+    """Reverse cursor (MiruSyncSender forward+reverse progress pair):
+    a sender created against a source with history backfills the
+    pre-existing units newest-first while forward rounds ship only new
+    data; the final destination equals the source."""
+    src = SegmentStore(spark, str(tmp_path / "src"), n_shards=2)
+    dest = SegmentStore(spark, str(tmp_path / "dest"), n_shards=3)
+
+    old1 = tiny_turns.where("conv_id < 'conv00000030'")
+    old2 = tiny_turns.where(
+        "conv_id >= 'conv00000030' and conv_id < 'conv00000060'"
+    )
+    new = tiny_turns.where("conv_id >= 'conv00000060'")
+
+    src.build(old1)
+    src.append(old2)  # two generations of history before the sender exists
+    sender = SyncSender(src, dest)
+    n_q = sender.init_reverse()
+    assert n_q == len(src.live_units())
+    assert sender.init_reverse() == n_q  # idempotent
+
+    # forward is current: history belongs to the reverse walker
+    assert sender.sync() == {"units": 0, "rows": 0}
+    src.append(new)
+    assert sender.sync()["rows"] == new.count()  # forward ships ONLY new
+
+    # newest history first: the first reverse rounds ship the delta_1
+    # units (old2's conv range), then the delta_0 units (old1's)
+    n_after_forward = dest.load().n_docs
+    r1 = sender.sync_reverse(batch=2)
+    assert r1["units"] == 2 and r1["rows"] == old2.count()
+    r2 = sender.sync_reverse(batch=2)
+    assert r2["rows"] == old1.count()
+    assert sender.sync_reverse() == {"units": 0, "rows": 0}  # queue drained
+    assert sender.reverse_pending() == []
+
+    didx = dest.load()
+    assert didx.n_docs == n_after_forward + old1.count() + old2.count()
+    assert didx.n_docs == tiny_turns.count()
+    # no duplicate keys, rank-identical serving
+    dups = (
+        didx.docs.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dups == 0
+    assert _scores(didx) == _scores(src.load())
+
+
+def test_reverse_backfill_replay_is_idempotent(spark, tiny_turns, tmp_path):
+    """Crash replay: re-shipping an already-backfilled unit (cursor
+    lost after the repair landed) arbitrates every row to
+    already-present — no duplicates, same final state."""
+    import json
+
+    src = SegmentStore(spark, str(tmp_path / "src"), n_shards=2)
+    dest = SegmentStore(spark, str(tmp_path / "dest"), n_shards=2)
+    old = tiny_turns.where("conv_id < 'conv00000040'")
+    new = tiny_turns.where("conv_id >= 'conv00000040'")
+    src.build(old)
+    sender = SyncSender(src, dest)
+    sender.init_reverse()
+    src.append(new)
+    sender.sync()
+    sender.sync_reverse(batch=1)
+
+    # crash window: the repair landed but the cursor write was lost —
+    # put the shipped unit back at the head of the queue and re-run
+    with open(sender.progress_path) as f:
+        p = json.load(f)
+    shipped_rel = [u for u in p["units"]]
+    replay = [u for u in shipped_rel if u.endswith("delta_0000")][:1]
+    p["units"] = [u for u in p["units"] if u not in replay]
+    p["reverse_pending"] = replay + p["reverse_pending"]
+    with open(sender.progress_path, "w") as f:
+        json.dump(p, f)
+
+    n_before = dest.load().n_docs
+    r = sender.sync_reverse(batch=1)
+    assert r["units"] == 1 and r["rows"] == 0  # all rows already held
+    while sender.reverse_pending():
+        sender.sync_reverse(batch=4)
+    didx = dest.load()
+    assert didx.n_docs == tiny_turns.count()
+    dups = (
+        didx.docs.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dups == 0
+    assert n_before <= didx.n_docs
+
+
 def test_sync_preserves_turn_payload(spark, tiny_turns, tmp_path):
     """Per-row invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering across the sync."""

@@ -78,9 +78,18 @@ def main() -> None:
     ap.add_argument("--big", type=int, default=8)
     ap.add_argument("--rows", type=int, default=150_000_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--weak",
+        action="store_true",
+        help="weak (Gustafson) mode: the big level writes core_factor x "
+        "the rows — the engine-free ceiling for the weak-scaling build "
+        "number (perfect environment => equal wall time at both levels)",
+    )
     ap.add_argument("--out", default="BENCH/env_write.json")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    factor = args.big / args.small
+    big_rows = int(args.rows * factor) if args.weak else args.rows
 
     def best(a, b):
         return a if a["rows_per_sec"] >= b["rows_per_sec"] else b
@@ -90,16 +99,15 @@ def main() -> None:
         s = run_level(repo, args.small, args.rows)
         print(json.dumps(s))
         small = s if small is None else best(small, s)
-        b = run_level(repo, args.big, args.rows)
+        b = run_level(repo, args.big, big_rows)
         print(json.dumps(b))
         big = b if big is None else best(big, b)
-    eff = (big["rows_per_sec"] / small["rows_per_sec"]) / (
-        args.big / args.small
-    )
+    eff = (big["rows_per_sec"] / small["rows_per_sec"]) / factor
     result = {
+        "mode": "weak" if args.weak else "strong",
         "small": small,
         "big": big,
-        "core_factor": args.big / args.small,
+        "core_factor": factor,
         "scaling_efficiency": round(eff, 3),
         "note": "generic shuffle+sorted-parquet-write job, no engine code",
     }

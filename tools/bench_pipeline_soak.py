@@ -46,6 +46,7 @@ def _rest_totals(ui_port: int = 4040) -> dict:
         "input_bytes": 0,
         "n_stages": 0,
     }
+    spillers = []
     for st in stages:
         if st.get("status") != "COMPLETE":
             continue
@@ -55,6 +56,20 @@ def _rest_totals(ui_port: int = 4040) -> dict:
         tot["memory_spill_bytes"] += st.get("memoryBytesSpilled", 0)
         tot["disk_spill_bytes"] += st.get("diskBytesSpilled", 0)
         tot["input_bytes"] += st.get("inputBytes", 0)
+        sp = st.get("memoryBytesSpilled", 0) + st.get("diskBytesSpilled", 0)
+        if sp > 0:
+            spillers.append(
+                {
+                    "stage": st.get("stageId"),
+                    "name": (st.get("name") or "")[:80],
+                    "mem_spill_mb": round(st.get("memoryBytesSpilled", 0) / 1e6),
+                    "disk_spill_mb": round(st.get("diskBytesSpilled", 0) / 1e6),
+                    "shuffle_read_mb": round(st.get("shuffleReadBytes", 0) / 1e6),
+                    "n_tasks": st.get("numCompleteTasks"),
+                }
+            )
+    spillers.sort(key=lambda s: -(s["mem_spill_mb"] + s["disk_spill_mb"]))
+    tot["top_spill_stages"] = spillers[:10]
     return tot
 
 
