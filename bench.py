@@ -156,7 +156,11 @@ def main() -> None:
                  "ft_bm25_repair", "delivery_log",
                  "analyze_locale_stop", "analyze_breadth", "ft_bm25_ru",
                  "ft_bm25_batch", "ft_bm25_msm_clause",
-                 "ft_phrase_store", "ft_bm25_batch_mixed"]:
+                 "ft_phrase_store", "ft_bm25_batch_mixed",
+                 # round-4 additions
+                 "trending_regression", "trending_peaks",
+                 "trending_leader", "trending_highest_peak",
+                 "ft_bm25_batch_phrase", "multimodal_decode"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -128,25 +128,30 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.desc("docint")).limit(k)
 
 
-def _collect_topk(topk: DataFrame, *cached) -> DataFrame:
-    """Materialize the ≤k result rows, release the per-query caches,
-    and hand back a driver-built DataFrame with the same schema. The
-    WAND plan reuses its (term, block) working set across count/probe/
-    final jobs — caching it is what makes that reuse one computation,
-    and eager materialization is what lets the cache be dropped before
-    returning (no per-query storage leak)."""
-    spark = topk.sparkSession
-    rows = topk.collect()
-    for c in cached:
-        c.unpersist()
-    return spark.createDataFrame(rows, schema=topk.schema)
+# NOTE on per-query caching (round-4 A/B finding): round 3 cached the
+# block working set (`_qblocks(...).cache()`) and eagerly collected the
+# top-k to release it. Interleaved A/B against the uncached round-2
+# plan measured the caches as a pure LOSS — +36-43% on the sf0.1
+# blockmax/WAND rows: caching the payload-bearing relation pushes the
+# whole compressed block set through the block-manager serializer, the
+# count that sizes the adaptive branch then pays the materialization,
+# and the eager collect+createDataFrame+unpersist round-trips add fixed
+# driver latency — all to save a term-pruned metadata re-scan that the
+# parquet reader serves from row-group stats anyway. Both paths are
+# therefore fully LAZY with NO per-query caches (nothing to leak across
+# repeated queries — the round-3 storage-leak concern is moot with
+# nothing persisted).
 
 
 def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
-    """Conjunctive BM25 top-k over block segments."""
+    """Conjunctive BM25 top-k over block segments. ``_qblocks`` appears
+    twice in the plan (block-level count, payload scoring) — both are
+    term-pruned scans of the blocks table, cheaper recomputed than
+    cached (see the module NOTE); nothing is cached, so the plan
+    stays lazy with no storage to release."""
     terms = sorted(set(terms))
     n = len(terms)
-    qb = _qblocks(index, terms).cache()
+    qb = _qblocks(index, terms)
     cand = (
         qb.groupBy("block_id")
         .agg(F.count(F.lit(1)).alias("nt"))
@@ -163,7 +168,7 @@ def search_blocks_and(index, terms: list[str], k: int = 10) -> DataFrame:
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _collect_topk(_topk(_mask_tombstones(index, scored), k), qb)
+    return _topk(_mask_tombstones(index, scored), k)
 
 
 def search_blocks_or(
@@ -176,12 +181,14 @@ def search_blocks_or(
     score everything in one pass instead. The pruning engages exactly
     where it matters: terms with large posting counts."""
     terms = sorted(set(terms))
-    qb = (
-        _qblocks(index, terms)
-        .withColumn("ub", F.col("idf") * _block_ub_tfc(index))
-        .cache()
+    qb = _qblocks(index, terms).withColumn(
+        "ub", F.col("idf") * _block_ub_tfc(index)
     )
-    ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum")).cache()
+    # ubs feeds up to three jobs (count, floor probe, survivor filter);
+    # recomputing it is a term-pruned metadata scan — cheaper than a
+    # cache whose materialization the first count would pay for and
+    # whose release would force an eager result (see module NOTE)
+    ubs = qb.groupBy("block_id").agg(F.sum("ub").alias("ub_sum"))
     avgdl = index.avg_doclen
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,9 +197,7 @@ def search_blocks_or(
     n_cand = ubs.count()
     if n_cand <= probe_blocks * 8:
         scored = qb.groupBy("block_id").applyInPandas(run, schema=SCORED_SCHEMA)
-        return _collect_topk(
-            _topk(_mask_tombstones(index, scored), k), qb, ubs
-        )
+        return _topk(_mask_tombstones(index, scored), k)
 
     # phase 1: exact-score the P most-promising blocks → floor
     # (masked FIRST: a tombstoned doc must not set the pruning floor)
@@ -213,4 +218,4 @@ def search_blocks_or(
         .groupBy("block_id")
         .applyInPandas(run, schema=SCORED_SCHEMA)
     )
-    return _collect_topk(_topk(_mask_tombstones(index, scored), k), qb, ubs)
+    return _topk(_mask_tombstones(index, scored), k)
