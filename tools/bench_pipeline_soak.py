@@ -128,6 +128,18 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--near-k", type=int, default=5)
+    ap.add_argument(
+        "--advisory-mb",
+        type=int,
+        default=16,
+        help="AQE advisory partition size. The default 64MB sizes "
+        "post-shuffle partitions for SCAN-like stages; the shingle "
+        "pair join EXPANDS its input through join multiplicity, so a "
+        "64MB coalesced partition balloons past executor memory and "
+        "spills (round-3 soak: 16.6GB mem + 9.9GB disk spill, all in "
+        "the join stage). 16MB keeps the ballooned working set "
+        "in-memory.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -143,7 +155,16 @@ def main() -> None:
         # At 1M docs the cpus*4 default left ~450MB/partition in the
         # shingle joins and spilled 220GB — see BENCH/BASELINE.md.
         shuffle_partitions=max(args.cpus * 4, args.docs // 2000),
-        extra_conf={"spark.ui.enabled": "true"},  # REST metrics scrape
+        extra_conf={
+            "spark.ui.enabled": "true",  # REST metrics scrape
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{args.advisory_mb}m",
+            # the shingle pair join is a self-equi-join of ~7MB/partition
+            # sides: a shuffled-hash build is a small in-memory map,
+            # while sort-merge SORTS both ballooned sides and spills
+            # (the round-3/4 soak's single spilling stage). AQE skew
+            # split still guards a hot partition's build side.
+            "spark.sql.join.preferSortMergeJoin": "false",
+        },
     )
 
     root = tempfile.mkdtemp(prefix="miru_soak_")
