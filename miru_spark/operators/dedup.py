@@ -137,8 +137,14 @@ def ngram_jaccard_pairs(
     # distinct() + re-join of the full shingle sets per candidate (the
     # re-join shuffled Σ(n_a+n_b) gram rows per candidate and dominated
     # the 1M-doc soak; see BENCH/BASELINE.md round-3 section).
+    # shuffle_hash: each side of this self-join is a few MB per shuffle
+    # partition (sizing rule above), so the hash build is a small
+    # in-memory map — while sort-merge SORTS both join-multiplicity-
+    # ballooned sides and was the single spilling stage of the 1M-doc
+    # soak (16.6+9.9 GB at 64MB advisory partitions; 0 bytes with SHJ —
+    # BENCH/BASELINE.md round-4). AQE skew split still applies.
     shared = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -252,7 +258,10 @@ def _jaccard_verify(
     keyed generators use the fused count path instead (see
     ``ngram_jaccard_pairs``)."""
     shared = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        # build on the candidate-pair side: pairs are tiny next to the
+        # full shingle sets (see the SHJ note in ngram_jaccard_pairs)
+        cand.hint("shuffle_hash")
+        .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(
             sh.alias("sb"),
             (F.col("id_b") == F.col("sb.id"))
@@ -377,7 +386,9 @@ def minhash_lsh_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            # band buckets are per-partition small — hash build beats
+            # sorting the bucket-ballooned sides (SHJ note above)
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key")),
         )
@@ -492,7 +503,7 @@ def simhash_dup_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key")),
         )

@@ -226,7 +226,10 @@ def cosine_dup_pairs_lsh(
     b = assign.alias("b")
     cand = (
         a.join(
-            b,
+            # hash build per (table, bucket) partition — sort-merge
+            # sorts the bucket-ballooned sides and spills (see the SHJ
+            # note in dedup.ngram_jaccard_pairs)
+            b.hint("shuffle_hash"),
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )

@@ -158,12 +158,10 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",  # REST metrics scrape
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{args.advisory_mb}m",
-            # the shingle pair join is a self-equi-join of ~7MB/partition
-            # sides: a shuffled-hash build is a small in-memory map,
-            # while sort-merge SORTS both ballooned sides and spills
-            # (the round-3/4 soak's single spilling stage). AQE skew
-            # split still guards a hot partition's build side.
-            "spark.sql.join.preferSortMergeJoin": "false",
+            # NB: the shuffled-hash-join choice for the pair joins lives
+            # in the library itself (`.hint("shuffle_hash")` in
+            # operators/dedup.py + similarity.py), not in session conf —
+            # any caller's session gets the spill-free plan.
         },
     )
 
