@@ -2717,6 +2717,109 @@ FROM documents
 )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE header parse: synthetic WAV payloads (all fields
+    doc_id arithmetic) parsed back byte-level; the oracle recomputes
+    rate/channels/bits/samples/duration in SQL, so a wrong chunk walk
+    fails the hash."""
+    from miru_spark.operators.multimodal import (
+        documents_as_audio,
+        extract_audio_features,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_audio_features(documents_as_audio(d))
+
+
+_register(
+    "multimodal_audio",
+    _q_multimodal_audio,
+    """
+SELECT doc_id AS id, 44::INT AS n_bytes,
+       (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)::INT
+         AS sample_rate,
+       (1 + doc_id % 2)::INT AS channels,
+       (8 * (1 + doc_id % 2))::INT AS bits,
+       (1000 + (doc_id * 37) % 50000)::BIGINT AS n_samples,
+       ((1000 + (doc_id * 37) % 50000) * 1000
+        // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+       )::BIGINT AS duration_ms
+FROM documents
+""",
+)
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize plan over REAL decoded geometry — pure column
+    arithmetic (scale = min(256/w, 256/h, 1)); the pixel resample is
+    the codec-bound stub, everything up to it is exact."""
+    from miru_spark.operators.multimodal import (
+        documents_as_images,
+        extract_features,
+        resize_geometry,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_geometry(
+        extract_features(documents_as_images(d)), max_w=256, max_h=256
+    )
+
+
+_register(
+    "multimodal_resize",
+    _q_multimodal_resize,
+    """
+WITH g AS (
+  SELECT doc_id AS id,
+         (16 + doc_id % 640)::INT AS width,
+         (16 + (doc_id * 7) % 480)::INT AS height,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt
+  FROM documents
+),
+s AS (
+  SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS sc FROM g
+)
+SELECT id, width, height, fmt,
+       greatest(floor(width * sc), 1)::INT AS out_w,
+       greatest(floor(height * sc), 1)::INT AS out_h
+FROM s
+""",
+)
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: one frame per second of a video column
+    whose typed metadata (duration_ms, fps) derives from doc_id; the
+    (id, frame_idx) relation is the exact input a codec-bound frame
+    decoder consumes."""
+    from miru_spark.operators.multimodal import sample_frame_indices
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    videos = d.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 7) * 1500 + 500).cast("long").alias("duration_ms"),
+        F.when(F.col("doc_id") % 2 == 0, 24).otherwise(30).alias("fps"),
+    )
+    return sample_frame_indices(videos, every_ms=1000)
+
+
+_register(
+    "multimodal_frames",
+    _q_multimodal_frames,
+    """
+WITH v AS (
+  SELECT doc_id AS id,
+         ((doc_id % 7) * 1500 + 500)::BIGINT AS duration_ms,
+         CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS fps
+  FROM documents
+)
+SELECT DISTINCT id,
+       floor(t.i * 1000 * fps / 1000.0)::BIGINT AS frame_idx
+FROM v, unnest(range(0, (duration_ms // 1000) + 1)) AS t(i)
+""",
+)
+
+
 # per-process ANN index cache: built once per corpus, probed per query —
 # the persisted-index serving shape (at real scale LshIndex.save/load
 # replaces this with table-partitioned parquet)

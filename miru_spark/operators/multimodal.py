@@ -172,6 +172,145 @@ def extract_features(
     return df.select(id_col, bin_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def parse_wav_header(b: bytes | None) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_samples) from RIFF/
+    WAVE bytes, or None. Real byte-level parse (chunk walk to ``fmt ``
+    and ``data``), no codec import — PCM audio metadata is pure header
+    arithmetic the same way image geometry is."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = None
+    n_samples = None
+    n = len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            _, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data" and channels and bits:
+            n_samples = size // (channels * (bits // 8))
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or n_samples is None:
+        return None
+    return (rate, channels, bits, n_samples)
+
+
+def synth_wav_payload(
+    sample_rate: int, channels: int, bits: int, n_samples: int
+) -> bytes:
+    """Minimal valid RIFF/WAVE header (no sample data — the ``data``
+    chunk declares its size; tests/oracle only need the metadata
+    round-trip). Deterministic."""
+    data_size = n_samples * channels * (bits // 8)
+    byte_rate = sample_rate * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate,
+        channels * (bits // 8), bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+AUDIO_SCHEMA = (
+    "id long, n_bytes int, sample_rate int, channels int, bits int,"
+    " n_samples long, duration_ms long"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """binary WAV column → per-item audio metadata rows (Arrow-batched
+    mapInPandas; real header parse, unparseable rows → NULL metadata)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                parsed = parse_wav_header(b)
+                if parsed is None:
+                    rows.append((int(i), len(b or b""), None, None, None, None, None))
+                else:
+                    rate, ch, bits, ns = parsed
+                    rows.append(
+                        (int(i), len(b or b""), rate, ch, bits, ns,
+                         ns * 1000 // rate)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_bytes", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def resize_geometry(
+    feats: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-fit resize planning over decoded geometry — REAL
+    arithmetic as pure column expressions (scale = min(max_w/w,
+    max_h/h, 1), floor output dims, min 1). Only the pixel resample
+    itself would need a codec; a real resizer consumes exactly
+    (id, out_w, out_h) this relation produces."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return feats.select(
+        "id",
+        "width",
+        "height",
+        "fmt",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_h"),
+    )
+
+
+def sample_frame_indices(
+    videos: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """(id, frame_idx) — deterministic frame-sampling plan: one frame
+    every ``every_ms`` of wall time, frame_idx = floor(t_ms·fps/1000).
+    Pure ``sequence``+``transform`` column arithmetic; the frame DECODE
+    consuming these indices is the codec-bound stub. Bounded per row by
+    duration/every_ms — no explosion risk beyond the requested rate."""
+    n = F.greatest(
+        (F.col(duration_col) / F.lit(int(every_ms))).cast("long"), F.lit(0)
+    )
+    idxs = F.transform(
+        F.sequence(F.lit(0), n),
+        lambda i: (
+            i.cast("double") * every_ms * F.col(fps_col) / F.lit(1000.0)
+        ).cast("long"),
+    )
+    return videos.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(idxs)).alias("frame_idx"),
+    )
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque payload so the
     multimodal plumbing is exercisable against the driver's tables."""
@@ -193,6 +332,30 @@ def documents_as_images(docs: DataFrame) -> DataFrame:
             payloads = [
                 synth_image_payload(
                     kinds[int(i) % 3], 16 + int(i) % 640, 16 + (int(i) * 7) % 480
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, schema="id long, payload binary")
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Adapter: deterministic synthetic WAV payloads keyed off doc_id
+    (rate cycles 8k/16k/44.1k, mono/stereo, 8/16-bit, n_samples from
+    doc_id arithmetic) so the real RIFF parse is exercisable and its
+    oracle can recompute every field in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = [8000, 16000, 44100]
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                synth_wav_payload(
+                    rates[int(i) % 3],
+                    1 + int(i) % 2,
+                    8 * (1 + int(i) % 2),
+                    1000 + (int(i) * 37) % 50000,
                 )
                 for i in ids
             ]

@@ -184,6 +184,63 @@ def test_multimodal_real_decode(spark, documents):
     assert (pdf["n_bytes"] == 64).all()
 
 
+def test_wav_header_parse_roundtrip():
+    from miru_spark.operators.multimodal import (
+        parse_wav_header,
+        synth_wav_payload,
+    )
+
+    for rate, ch, bits, ns in [
+        (8000, 1, 8, 1000),
+        (16000, 2, 16, 44100),
+        (44100, 2, 16, 1),
+        (48000, 1, 16, 123456),
+    ]:
+        got = parse_wav_header(synth_wav_payload(rate, ch, bits, ns))
+        assert got == (rate, ch, bits, ns)
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks
+    assert parse_wav_header(b"not audio at all") is None
+    # data chunk before fmt -> n_samples unknown at that point; a second
+    # data chunk after fmt resolves (chunk-walk order independence for
+    # the common LIST-prefixed layouts)
+    from miru_spark.operators.multimodal import synth_wav_payload as s
+
+    wav = s(8000, 1, 8, 10)
+    # inject a junk odd-sized chunk between fmt and data (word-aligned walk)
+    junk = b"junk" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    patched = wav[:36] + junk + wav[36:]
+    assert parse_wav_header(patched) == (8000, 1, 8, 10)
+
+
+def test_resize_geometry_and_frame_sampling(spark):
+    from miru_spark.operators.multimodal import (
+        resize_geometry,
+        sample_frame_indices,
+    )
+
+    feats = spark.createDataFrame(
+        [(1, 1920, 1080, "png"), (2, 100, 50, "gif"), (3, 16, 512, "jpeg")],
+        "id long, width int, height int, fmt string",
+    )
+    rows = {r["id"]: (r["out_w"], r["out_h"]) for r in
+            resize_geometry(feats, 256, 256).collect()}
+    assert rows[1] == (256, 144)  # downscale, aspect kept
+    assert rows[2] == (100, 50)  # never upscale
+    assert rows[3] == (8, 256)  # tall clamp, floor >= 1
+
+    videos = spark.createDataFrame(
+        [(1, 3500, 24), (2, 0, 30), (3, 999, 30)],
+        "id long, duration_ms long, fps int",
+    )
+    out = sample_frame_indices(videos, every_ms=1000).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], []).append(r["frame_idx"])
+    assert sorted(got[1]) == [0, 24, 48, 72]  # one per second
+    assert sorted(got[2]) == [0] and sorted(got[3]) == [0]
+
+
 def test_shingle_short_doc_guard(spark):
     from miru_spark.operators.dedup import shingles
 

@@ -133,3 +133,45 @@ def test_term_waveforms_dense(spark, tiny_turns):
 def test_unknown_strategy_raises(wave_df):
     with pytest.raises(ValueError):
         trending(wave_df, "BOGUS")
+
+
+def test_peakdet_property_random_waveforms(spark):
+    """Property check: the F.aggregate automaton equals the independent
+    Python peakdet on pseudo-random integer waveforms (fixed seed —
+    deterministic corpus, many shapes: plateaus, zeros, spikes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    waves = []
+    for i in range(60):
+        n = int(rng.integers(2, 24))
+        scale = int(rng.integers(1, 50))
+        w = rng.integers(0, scale, size=n).tolist()
+        waves.append((f"t{i:03d}", [float(x) for x in w]))
+    maxes = [max(v) for _, v in waves]
+    q = _b95(maxes)
+    expected = {k: py_peakdet(v, max(v) / 6 + q / 100) for k, v in waves}
+
+    # equal-length arrays required per call (n_segments is a query
+    # constant); group by length and score each group
+    from collections import defaultdict
+
+    by_len = defaultdict(list)
+    for k, v in waves:
+        by_len[len(v)].append((k, v))
+    got = {}
+    for n, grp in by_len.items():
+        # per-group b95 would differ from the global one — inject the
+        # global delta directly to isolate the automaton
+        df = spark.createDataFrame(grp, "term string, counts array<double>")
+        from miru_spark.operators.trending import _peaks_col
+
+        rows = df.select(
+            "term",
+            _peaks_col(
+                F.col("counts"),
+                F.array_max("counts") / 6 + F.lit(q) / 100,
+            ).alias("score"),
+        ).collect()
+        got.update({r["term"]: r["score"] for r in rows})
+    assert got == expected
