@@ -1208,6 +1208,25 @@ def _q_trending_strategy(strategy: str):
     return run
 
 
+def _q_trending_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending under a constraint filter — the reference's
+    TrendingQuery carries a MiruFilter the analytics waveforms are
+    masked by (TrendingQuestion.java; Analytics answer ∧ constraint):
+    here the waveform relation is built from the postings of user-role
+    turns only, then LEADER-ranked. Proves strategy x filter
+    composition on the same single-shuffle plan."""
+    from miru_spark.operators.trending import term_waveforms, trending
+
+    idx = _index_for(spark, sf_dir)
+    user_docs = idx.docs.where(F.col("role") == "user")
+    wf = term_waveforms(
+        idx.postings.join(user_docs.select("docint"), "docint", "left_semi"),
+        user_docs,
+        n_segments=_TREND_N,
+    )
+    return trending(wf, "LEADER", k=15, n_segments=_TREND_N)
+
+
 _register(
     "trending_leader",
     _q_trending_strategy("LEADER"),
@@ -1238,6 +1257,81 @@ FROM dense GROUP BY 1
 ORDER BY score DESC, term ASC LIMIT 15
 """,
 )
+
+def _q_trending_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four strategies from ONE waveform pass (the reference's
+    keyed score-set request shape — one analytics answer feeds every
+    strategy's heap). operators/trending.py trending_multi."""
+    from miru_spark.operators.trending import trending_multi
+
+    return trending_multi(
+        _trend_waveforms(spark, sf_dir), k=15, n_segments=_TREND_N
+    )
+
+
+_register(
+    "trending_multi",
+    _q_trending_multi,
+    _TREND_SQL.format(prelude=SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1))
+    + f""",
+maxes AS (SELECT term, MAX(y) AS mx FROM dense GROUP BY 1),
+b95 AS (SELECT quantile_cont(mx, 0.95) AS q FROM maxes),
+dlt AS (SELECT m.term, m.mx / 6 + b.q / 100 AS d FROM maxes m CROSS JOIN b95 b),
+pk AS (
+  SELECT term, -1 AS i, 1e308 AS mn, -1e308 AS mx, 1 AS lf, 0 AS np FROM dlt
+  UNION ALL
+  SELECT p.term, p.i + 1,
+         CASE WHEN p.lf = 1 AND d.y < greatest(p.mx, d.y) - t.d
+              THEN d.y ELSE least(p.mn, d.y) END,
+         CASE WHEN p.lf = 0 AND d.y > least(p.mn, d.y) + t.d
+              THEN d.y ELSE greatest(p.mx, d.y) END,
+         CASE WHEN p.lf = 1
+              THEN CASE WHEN d.y < greatest(p.mx, d.y) - t.d THEN 0 ELSE 1 END
+              ELSE CASE WHEN d.y > least(p.mn, d.y) + t.d THEN 1 ELSE 0 END END,
+         p.np + CASE WHEN p.lf = 1 AND d.y < greatest(p.mx, d.y) - t.d
+                     THEN 1 ELSE 0 END
+  FROM pk p
+  JOIN dense d ON d.term = p.term AND d.seg = p.i + 1
+  JOIN dlt t ON t.term = p.term
+),
+all_scores AS (
+  SELECT 'LEADER' AS strategy, term, SUM(y) AS score FROM dense GROUP BY 2
+  UNION ALL
+  SELECT 'HIGHEST_PEAK', term, MAX(y) FROM dense GROUP BY 2
+  UNION ALL
+  SELECT 'LINEAR_REGRESSION', term,
+         ROUND(regr_slope(y, seg / {_TREND_N - 1}.0), 4) FROM dense GROUP BY 2
+  UNION ALL
+  SELECT 'PEAKS', term, np::DOUBLE FROM pk WHERE i = {_TREND_N - 1}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY strategy ORDER BY score DESC, term ASC) AS rk
+  FROM all_scores
+)
+SELECT strategy, term, score FROM r WHERE rk <= 15
+ORDER BY strategy, score DESC, term ASC
+""",
+)
+
+
+_register(
+    "trending_filtered",
+    _q_trending_filtered,
+    f"""{SQL_PRELUDE},
+du AS (SELECT * FROM dl WHERE role = 'user'),
+tb AS (SELECT MIN(epoch(ts)::BIGINT) AS t0, MAX(epoch(ts)::BIGINT) AS t1 FROM du),
+tw AS (
+  SELECT p.term,
+         ((epoch(du.ts)::BIGINT - tb.t0) * {_TREND_N}) // (tb.t1 - tb.t0 + 1) AS seg
+  FROM post p JOIN du USING (docint) CROSS JOIN tb
+),
+segc AS (SELECT term, seg, COUNT(*)::BIGINT AS n FROM tw GROUP BY 1, 2)
+SELECT term, SUM(n)::BIGINT AS score FROM segc GROUP BY 1
+ORDER BY score DESC, term ASC LIMIT 15
+""",
+)
+
 
 # PEAKS: Billauer peakdet automaton as a recursive CTE (state machine
 # per term, one step per segment — _TREND_N steps, term-count rows each)

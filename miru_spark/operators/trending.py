@@ -183,3 +183,60 @@ def trending(
             "term", _peaks_col(F.col("counts"), F.col("dlt")).alias("score")
         )
     return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
+
+def trending_multi(
+    waveforms: DataFrame,
+    strategies: tuple[str, ...] = STRATEGIES,
+    k: int = 15,
+    n_segments: int = 16,
+) -> DataFrame:
+    """(strategy, term, score) — per-strategy top-k for SEVERAL
+    strategies computed in ONE pass over the waveform relation, the
+    reference's keyed score-set shape (``TrendingQuery.scoreSets`` —
+    one analytics answer feeds every requested strategy's heap,
+    ``TrendingInjectable.java:143-187``).
+
+    All four scores are column expressions over the same ``counts``
+    array, so one projection evaluates them together (no per-strategy
+    re-scan); ``stack`` unpivots to (strategy, score) rows and one
+    window takes each strategy's top-k. Scores are doubles (slope
+    rounded to 4dp; count-valued scores are exact integers in double).
+    """
+    from pyspark.sql import Window
+
+    strategies = tuple(s.upper() for s in strategies)
+    for s in strategies:
+        if s not in STRATEGIES:
+            raise ValueError(f"unknown trending strategy {s!r}")
+    arr = F.col("counts")
+    per = waveforms.select(
+        "term", arr.alias("counts"), F.array_max(arr).cast("double").alias("mx")
+    )
+    exprs: dict[str, Column] = {}
+    if "LEADER" in strategies:
+        exprs["LEADER"] = _sum_col(arr)
+    if "HIGHEST_PEAK" in strategies:
+        exprs["HIGHEST_PEAK"] = F.col("mx")
+    if "LINEAR_REGRESSION" in strategies:
+        exprs["LINEAR_REGRESSION"] = F.round(_slope_col(arr, n_segments), 4)
+    if "PEAKS" in strategies:
+        b95 = per.agg(F.expr("percentile(mx, 0.95)").alias("q"))
+        per = per.crossJoin(F.broadcast(b95))
+        exprs["PEAKS"] = _peaks_col(
+            F.col("counts"), F.col("mx") / 6 + F.col("q") / 100
+        ).cast("double")
+    stack_args = ", ".join(f"'{s}', `_s_{s}`" for s in strategies)
+    scored = per.select(
+        "term", *[v.alias(f"_s_{s}") for s, v in exprs.items()]
+    ).selectExpr(
+        "term",
+        f"stack({len(strategies)}, {stack_args}) as (strategy, score)",
+    )
+    w = Window.partitionBy("strategy").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("strategy", "term", "score")
+        .orderBy("strategy", F.desc("score"), F.asc("term"))
+    )

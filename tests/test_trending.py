@@ -130,6 +130,19 @@ def test_term_waveforms_dense(spark, tiny_turns):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_multi_matches_per_strategy(wave_df):
+    from miru_spark.operators.trending import trending_multi
+
+    multi = trending_multi(wave_df, k=4, n_segments=8).collect()
+    by_strategy = {}
+    for r in multi:
+        by_strategy.setdefault(r["strategy"], []).append((r["term"], r["score"]))
+    for s in STRATEGIES:
+        single = trending(wave_df, s, k=4, n_segments=8).collect()
+        exp = [(r["term"], float(r["score"])) for r in single]
+        assert by_strategy[s] == exp, s
+
+
 def test_unknown_strategy_raises(wave_df):
     with pytest.raises(ValueError):
         trending(wave_df, "BOGUS")
