@@ -160,7 +160,10 @@ def main() -> None:
                  # round-4 additions
                  "trending_regression", "trending_peaks",
                  "trending_leader", "trending_highest_peak",
-                 "ft_bm25_batch_phrase", "multimodal_decode"]:
+                 "trending_multi", "trending_filtered",
+                 "ft_bm25_batch_phrase", "multimodal_decode",
+                 "multimodal_audio", "multimodal_resize",
+                 "multimodal_frames"]:
         timings[name] = timed(
             lambda name=name: QUERIES[name](spark, sf_dir).collect()
         )

@@ -410,7 +410,9 @@ def search_batch(
             )
             .groupBy("qid", "docint")
             .agg(F.sum("contrib").alias("score"), F.first("k").alias("_k"))
-            .join(matched, ["qid", "docint"], "left_semi")
+            # hash build on the match set (docs containing the phrase —
+            # small next to the scored term-match relation)
+            .join(matched.hint("shuffle_hash"), ["qid", "docint"], "left_semi")
         )
         if index.tombstones is not None:
             scored_p = scored_p.join(
@@ -450,7 +452,9 @@ def search_batch(
         out = out.unionByName(p)
     meta = index.docs.select("docint", "conv_id", "turn_idx")
     return (
-        out.join(meta, "docint")
+        # the union of per-query top-ks is ≤ Σ k rows — broadcast it
+        # against the docs scan instead of shuffling the metadata side
+        F.broadcast(out).join(meta, "docint")
         .select(
             F.col("qid").alias("query_id"),
             "conv_id",

@@ -414,6 +414,69 @@ def main() -> None:
         )
     )
 
+    # ---- round-4 additions ----
+    from miru_spark.operators.trending import term_waveforms, trending_multi
+
+    pos_seg = tempfile.mkdtemp(prefix="plans_pos_")
+    pidx = InvertedIndex.build_persisted(turns, pos_seg, positions=True)
+    sections.append(
+        (
+            "Batched phrase serving (shared positions scan)",
+            "Round-4: the phrase's (term, offset) leaves join ONE "
+            "positions-bearing postings scan with the union term "
+            "predicate pushed to parquet; occurrence check = explode of "
+            "shift-normalized starts + one count-distinct groupBy for "
+            "every phrase in the batch; scoring rides the same scan. "
+            "No per-query fallback jobs for exact phrases.",
+            search_batch(
+                pidx,
+                [("p1", '"the fast"', 5), ("a1", "spark AND join", 5)],
+            ),
+        )
+    )
+    wf = term_waveforms(idx.postings, idx.docs, n_segments=16)
+    sections.append(
+        (
+            "Trending: all four strategies in one waveform pass",
+            "Round-4: ONE (term, seg) count shuffle builds dense "
+            "array<long> waveforms; LEADER/HIGHEST_PEAK/"
+            "LINEAR_REGRESSION/PEAKS are all column folds over the same "
+            "projection (peakdet runs as an F.aggregate struct "
+            "automaton inside codegen), stack-unpivoted with one window "
+            "for every per-strategy top-k. The only data-sized exchange "
+            "is the first count; b95 is a broadcast 1-row aggregate.",
+            trending_multi(wf, k=15, n_segments=16),
+        )
+    )
+    from pyspark.sql import functions as F
+
+    from miru_spark.operators.dedup import _jaccard_from_counts, shingles
+
+    # the public ngram_jaccard_pairs eagerly localCheckpoints its
+    # (tiny) result to release caches — rebuild the fused pair plan
+    # inline so the explain shows the join, not the checkpoint scan
+    ddocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = shingles(ddocs, 3, hashed=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sections.append(
+        (
+            "Near-dedup shingle pair join (shuffled-hash, spill-free)",
+            "Round-4: the pair self-join and its verify/correction "
+            "joins carry shuffle_hash hints — each side is a few MB per "
+            "shuffle partition, so the hash build replaces sort-merge's "
+            "sort of the join-multiplicity-ballooned sides (the 1M-doc "
+            "soak's only spilling stage; 0 bytes spilled after).",
+            _jaccard_from_counts(shared, sizes, 0.5),
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/dump_plans.py)\n"]
     out.append(
         "Checked properties: filter pushdown reaches parquet scans, wide "
