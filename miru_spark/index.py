@@ -51,6 +51,17 @@ def _bucketed_for_write(postings: DataFrame, n_buckets: int) -> DataFrame:
     themselves, so row-group min/max pruning on ``term`` is unchanged;
     readers never assumed one file per bucket (parquet dirs merge).
 
+    The ``bucket`` SORT PREFIX is load-bearing, not stylistic: the
+    dynamic-partition writer requires ordering by the partition column,
+    and a sort that does NOT lead with it gets a writer-inserted bucket
+    sort appended — whereupon Catalyst's ``EliminateSorts`` removes the
+    explicit (term, docint) sort as redundant and the files land
+    UNSORTED (this silently happened in round 2; round-4 A/B + file
+    audit in BENCH/BASELINE.md). Unsorted files void the term
+    row-group pruning the whole serving path relies on;
+    ``tests/test_edge_cases.py::test_persisted_postings_files_sorted``
+    guards the layout.
+
     The exchange's partition COUNT is floored at ``4 * n_buckets``:
     when the distinct-key count (buckets × spans) is near the partition
     count, hashing goes multinomial — measured on this harness,

@@ -63,3 +63,24 @@ def test_io_shim_parquet_fallback(spark, tmp_path):
     assert fmt == "parquet"
     back = read_table(spark, str(tmp_path / "t"))
     assert back.count() == 1 and "role" in back.columns
+
+
+def test_persisted_postings_files_sorted(spark, tiny_turns, tmp_path):
+    """Layout guard: every written postings file must be (term, docint)
+    sorted INSIDE itself — the property term row-group pruning relies
+    on. Round 2 silently lost it to EliminateSorts (the writer's
+    required-ordering sort made the explicit sort redundant); the
+    bucket sort prefix in _bucketed_for_write is what keeps it (see
+    BENCH/BASELINE.md round-4 attribution)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "seg")
+    InvertedIndex.build_persisted(tiny_turns, d, positions=False)
+    files = glob.glob(f"{d}/postings/bucket=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["term", "docint"])
+        pairs = list(zip(t.column("term").to_pylist(), t.column("docint").to_pylist()))
+        assert pairs == sorted(pairs), f"unsorted postings file: {f}"
