@@ -86,6 +86,20 @@ def shingles(
 
 
 
+# Corpus-size floor for forcing shuffled-hash pair joins: below it the
+# join sides broadcast for free and a strategy hint would only ADD
+# exchanges (measured +31-37% on the sf0.1 bench rows when hinted
+# unconditionally); above it sort-merge's sort of the ballooned sides
+# was the 1M-doc soak's only spilling stage (0 bytes with SHJ).
+PAIR_SHJ_MIN_DOCS = 100_000
+
+
+def _shj(side: DataFrame, n_docs: int) -> DataFrame:
+    """Hint the hash-build side of a pair join iff the corpus is big
+    enough that broadcast is off the table anyway."""
+    return side.hint("shuffle_hash") if n_docs >= PAIR_SHJ_MIN_DOCS else side
+
+
 def _finalize_pairs(result: DataFrame, cached: list) -> DataFrame:
     """Materialize a (small) pair result via eager localCheckpoint and
     release the per-call cached intermediates. Pair relations are tiny
@@ -128,8 +142,9 @@ def ngram_jaccard_pairs(
     sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
     cached.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_docs = docs.count()
     if max_df == "auto":
-        max_df = max(64, -(-docs.count() // 200))
+        max_df = max(64, -(-n_docs // 200))
     join_sh, capped_sh = _df_cap_split(sh, max_df, cached)
     a, b = join_sh.alias("a"), join_sh.alias("b")
     # Fused verify: the pair join already touches every shared uncapped
@@ -137,14 +152,14 @@ def ngram_jaccard_pairs(
     # distinct() + re-join of the full shingle sets per candidate (the
     # re-join shuffled Σ(n_a+n_b) gram rows per candidate and dominated
     # the 1M-doc soak; see BENCH/BASELINE.md round-3 section).
-    # shuffle_hash: each side of this self-join is a few MB per shuffle
-    # partition (sizing rule above), so the hash build is a small
-    # in-memory map — while sort-merge SORTS both join-multiplicity-
-    # ballooned sides and was the single spilling stage of the 1M-doc
-    # soak (16.6+9.9 GB at 64MB advisory partitions; 0 bytes with SHJ —
-    # BENCH/BASELINE.md round-4). AQE skew split still applies.
+    # size-gated shuffle_hash (see _shj): at soak scale each side of
+    # this self-join is a few MB per shuffle partition, so the hash
+    # build is a small in-memory map — while sort-merge SORTS both
+    # join-multiplicity-ballooned sides and was the single spilling
+    # stage of the 1M-doc soak (16.6+9.9 GB at 64MB advisory
+    # partitions; 0 bytes with SHJ — BENCH/BASELINE.md round-4).
     shared = (
-        a.join(b.hint("shuffle_hash"), "shingle")
+        a.join(_shj(b, n_docs), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -250,7 +265,8 @@ def _jaccard_from_counts(
 
 
 def _jaccard_verify(
-    sh: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
+    sh: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float,
+    n_docs: int = 0,
 ) -> DataFrame:
     """Exact Jaccard over full shingle sets for candidate (id_a, id_b)
     pairs — the verification stage for candidate generators whose join
@@ -259,8 +275,8 @@ def _jaccard_verify(
     ``ngram_jaccard_pairs``)."""
     shared = (
         # build on the candidate-pair side: pairs are tiny next to the
-        # full shingle sets (see the SHJ note in ngram_jaccard_pairs)
-        cand.hint("shuffle_hash")
+        # full shingle sets (size-gated — see _shj)
+        _shj(cand, n_docs)
         .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(
             sh.alias("sb"),
@@ -383,12 +399,14 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
+    n_docs = docs.count()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            # band buckets are per-partition small — hash build beats
-            # sorting the bucket-ballooned sides (SHJ note above)
-            b.hint("shuffle_hash"),
+            # band buckets are per-partition small at soak scale — hash
+            # build beats sorting the bucket-ballooned sides
+            # (size-gated, see _shj)
+            _shj(b, n_docs),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key")),
         )
@@ -398,7 +416,9 @@ def minhash_lsh_pairs(
     )
     # verify with exact Jaccard over the SAME cached shingle sets
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _finalize_pairs(_jaccard_verify(sh, sizes, cand, threshold), [sh])
+    return _finalize_pairs(
+        _jaccard_verify(sh, sizes, cand, threshold, n_docs=n_docs), [sh]
+    )
 
 
 SIMHASH_BITS = 32
@@ -500,10 +520,11 @@ def simhash_dup_pairs(
             )
         ).alias("_bk"),
     ).select("id", "simhash", "_bk.band", "_bk.key")
+    n_docs = docs.count()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b.hint("shuffle_hash"),
+            _shj(b, n_docs),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key")),
         )

@@ -222,14 +222,18 @@ def cosine_dup_pairs_lsh(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col,
     ).cache()
+    from miru_spark.operators.dedup import _shj
+
+    n_vecs = emb.count()
     a = assign.alias("a")
     b = assign.alias("b")
     cand = (
         a.join(
             # hash build per (table, bucket) partition — sort-merge
-            # sorts the bucket-ballooned sides and spills (see the SHJ
-            # note in dedup.ngram_jaccard_pairs)
-            b.hint("shuffle_hash"),
+            # sorts the bucket-ballooned sides and spills; size-gated
+            # so small corpora keep the free broadcast plan
+            # (dedup._shj, BENCH/BASELINE.md round-4)
+            _shj(b, n_vecs),
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
