@@ -24,9 +24,10 @@ shift-normalized positions and counting distinct leaves per
 (qid, docint, start) finds occurrences for EVERY phrase in the batch in
 one groupBy — the batched twin of ``phrase_match_docs``'s
 array-intersect chain. Scoring rides the same scan (member terms score
-as ordinary leaves, ``search_phrase`` parity). Anything else (ordered
-proximity ``"a b"~N``, OR over metadata, meta-masked phrases) falls
-back to the single-query engine.
+as ordinary leaves, ``search_phrase`` parity), and doc-metadata
+conjuncts on a phrase ride the same shared mask docs scan as fused
+queries' masks. Anything else (ordered proximity ``"a b"~N``, OR over
+metadata) falls back to the single-query engine.
 """
 
 from __future__ import annotations
@@ -49,6 +50,48 @@ from miru_spark.query.bm25 import (
     search_min_should_match,
 )
 from miru_spark.query.parser import parse_query
+
+
+def _apply_masks(scored: DataFrame, index, mask_specs: dict) -> DataFrame:
+    """Filter a (qid, docint, …) relation by the batch's doc-metadata
+    masks: ONE docs scan evaluates every masked query's doc-level
+    predicate, a doc emits the qids it satisfies, and the (qid, docint)
+    pairs filter the relation — the batched twin of the single-query
+    plan's mask semi-join. Shared by the fused and phrase blocks (each
+    applies it to its own scored relation; non-masked qids pass
+    through)."""
+    if not mask_specs:
+        return scored
+    from miru_spark.query.filters import _meta_pred
+
+    def _mask_pred(pos_meta, neg_meta):
+        pred = F.lit(True)
+        for l in pos_meta:
+            pred = pred & _meta_pred(l)
+        for l in neg_meta:
+            pred = pred & ~F.coalesce(_meta_pred(l), F.lit(False))
+        return pred
+
+    qid_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(_mask_pred(pm, nm), F.lit(q))
+                for q, (pm, nm) in sorted(mask_specs.items())
+            ]
+        )
+    )
+    mask_pairs = index.docs.select("docint", F.explode(qid_arr).alias("qid"))
+    return (
+        scored.join(
+            mask_pairs.withColumn("_mok", F.lit(1)),
+            ["qid", "docint"],
+            "left",
+        )
+        .where(
+            (~F.col("qid").isin(sorted(mask_specs))) | F.col("_mok").isNotNull()
+        )
+        .drop("_mok")
+    )
 
 
 def search_batch(
@@ -124,13 +167,19 @@ def search_batch(
             isinstance(sub, Phrase)
             and sub.slop == 0
             and len(sub.values) >= 2
-            and not pos_meta
-            and not neg_meta
             and tie is None
             and "positions" in index.postings.columns
+            and (
+                not (pos_meta or neg_meta)
+                or _meta_fields_known(index, [*pos_meta, *neg_meta])
+            )
         ):
             # exact phrase → shared positional scan (see module doc);
-            # leaf per (term, offset) occurrence in the phrase
+            # leaf per (term, offset) occurrence in the phrase. Doc-
+            # metadata conjuncts ride the SAME shared mask docs scan as
+            # fused queries' masks.
+            if pos_meta or neg_meta:
+                mask_specs[qid] = (pos_meta, neg_meta)
             for off, val in enumerate(sub.values):
                 phrase_rows.append(
                     (qid, off, val, float(sub.boost), k, len(sub.values))
@@ -304,44 +353,7 @@ def search_batch(
                 ).otherwise(F.col("_sum")),
             )
         )
-        if mask_specs:
-            # ONE docs scan evaluates every masked query's doc-level
-            # predicate; a doc emits the qids it satisfies, and the
-            # (qid, docint) pairs filter the post-agg relation — the
-            # batched twin of the single-query plan's mask semi-join
-            from miru_spark.query.filters import _meta_pred
-
-            def _mask_pred(pos_meta, neg_meta):
-                pred = F.lit(True)
-                for l in pos_meta:
-                    pred = pred & _meta_pred(l)
-                for l in neg_meta:
-                    pred = pred & ~F.coalesce(_meta_pred(l), F.lit(False))
-                return pred
-
-            qid_arr = F.array_compact(
-                F.array(
-                    *[
-                        F.when(_mask_pred(pm, nm), F.lit(q))
-                        for q, (pm, nm) in sorted(mask_specs.items())
-                    ]
-                )
-            )
-            mask_pairs = index.docs.select(
-                "docint", F.explode(qid_arr).alias("qid")
-            )
-            scored = (
-                scored.join(
-                    mask_pairs.withColumn("_mok", F.lit(1)),
-                    ["qid", "docint"],
-                    "left",
-                )
-                .where(
-                    (~F.col("qid").isin(sorted(mask_specs)))
-                    | F.col("_mok").isNotNull()
-                )
-                .drop("_mok")
-            )
+        scored = _apply_masks(scored, index, mask_specs)
         if index.tombstones is not None:
             scored = scored.join(
                 index.tombstones.select("docint"), "docint", "left_anti"
@@ -414,6 +426,7 @@ def search_batch(
             # small next to the scored term-match relation)
             .join(matched.hint("shuffle_hash"), ["qid", "docint"], "left_semi")
         )
+        scored_p = _apply_masks(scored_p, index, mask_specs)
         if index.tombstones is not None:
             scored_p = scored_p.join(
                 index.tombstones.select("docint"), "docint", "left_anti"

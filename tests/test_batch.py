@@ -27,7 +27,8 @@ QUERIES = [
     ("p2", '"w00001 w00000"', 10),  # order matters
     ("p3", '"w00000 w00000"', 5),  # repeated member term scores once
     ("p4", '"w00002 w00003"^2', 5),  # phrase boost
-    ("p5", 'role:user AND "w00000 w00001"', 5),  # masked phrase → fallback
+    ("p5", 'role:user AND "w00000 w00001"', 5),  # masked phrase: shared mask scan
+    ("p5b", 'tool:bash AND NOT role:user AND "w00001 w00000"', 5),
     ("p6", '"w00000 w00001"~2', 5),  # proximity → fallback
 ]
 
