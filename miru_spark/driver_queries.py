@@ -5466,6 +5466,89 @@ ORDER BY r.query_id, r.rank
 )
 
 
+def _q_batch_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving with the final two fallback classes batched
+    (round 5): an ordered-proximity query ('"the fast"~2') rides the
+    shared positions scan with the greedy ordered chain evaluated as
+    one F.aggregate fold per candidate (the batched twin of
+    phrase.proximity_match_docs), and an OR-over-metadata query
+    ('spark OR role:assistant') rides the shared term scan with its
+    metadata disjunct evaluated in the shared mask docs scan, whose
+    pairs union in as 0.0-score candidates. A plain AND shares both
+    scans. Each result is rank-identical to its single-query engine."""
+    from miru_spark.query.batch import search_batch
+
+    out = search_batch(
+        _index_for(spark, sf_dir, positions=True),
+        [
+            ("s1", '"the fast"~2', 5),
+            ("s2", "spark OR role:assistant", 5),
+            ("a1", "merge AND hash", 5),
+        ],
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+_register(
+    "ft_bm25_batch_slop",
+    _q_batch_slop,
+    f"""{SQL_PRELUDE},
+w AS (
+  SELECT p.docint, p.term, {_BM25} AS w
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl ON dl.docint = p.docint
+  CROSS JOIN corpus c
+  WHERE p.term IN ('the', 'fast', 'spark', 'merge', 'hash')
+),
+m1 AS (
+  SELECT d.docint FROM d
+  WHERE len(list_filter(
+      list_filter(range(len({_TOK})), i -> ({_TOK})[i+1] = 'the'),
+      a -> len(list_filter(range(len({_TOK})),
+               b -> ({_TOK})[b+1] = 'fast' AND b > a AND b - a <= 3)) > 0)) > 0
+),
+q1 AS (
+  SELECT 's1' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('the', 'fast') AND docint IN (SELECT docint FROM m1)
+  GROUP BY docint
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+m2 AS (
+  SELECT docint FROM post WHERE term = 'spark'
+  UNION
+  SELECT docint FROM dl WHERE role = 'assistant'
+),
+c2 AS (
+  SELECT docint, SUM(w) AS score FROM w WHERE term = 'spark' GROUP BY docint
+),
+q2 AS (
+  SELECT 's2' AS query_id, m2.docint, COALESCE(c2.score, 0) AS score
+  FROM m2 LEFT JOIN c2 USING (docint)
+  ORDER BY COALESCE(c2.score, 0) DESC, m2.docint DESC LIMIT 5
+),
+q3 AS (
+  SELECT 'a1' AS query_id, docint, SUM(w) AS score
+  FROM w WHERE term IN ('merge', 'hash') GROUP BY docint
+  HAVING COUNT(DISTINCT term) = 2
+  ORDER BY score DESC, docint DESC LIMIT 5
+),
+u AS (
+  SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, docint DESC) AS rank
+  FROM u
+)
+SELECT r.query_id, dl.conv_id, dl.turn_idx, r.docint,
+       ROUND(r.score, 4) AS score, r.rank::INT AS rank
+FROM r JOIN dl ON dl.docint = r.docint
+ORDER BY r.query_id, r.rank
+""",
+)
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-ordering conversion funnel over the event stream: per
     user, the earliest view, the earliest click AFTER that view, the

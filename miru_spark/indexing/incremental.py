@@ -58,6 +58,19 @@ import threading
 
 _MANIFEST_LOCK = threading.Lock()
 
+# cross-PROCESS single-writer enforcement: depth registry (per store
+# abspath) makes the lockfile re-entrant within one process — in-process
+# concurrency (build(max_concurrent), repair→expunge) is by design and
+# serialized where it matters by _MANIFEST_LOCK; the lockfile only
+# rejects a SECOND PROCESS writing the same store.
+_WRITER_DEPTH: dict[str, int] = {}
+_WRITER_DEPTH_GUARD = threading.Lock()
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second process attempted to write a store that already has a
+    live writer (single-writer-per-store contract)."""
+
 
 class SnapshotExpiredError(RuntimeError):
     """A requested store snapshot has been rewritten by compaction
@@ -100,6 +113,19 @@ def _align_block(local_id: int) -> int:
     return ((local_id + size - 1) // size) * size
 
 
+def _single_writer(fn):
+    """Decorator: run a SegmentStore write method under the
+    cross-process writer lock (re-entrant — see ``_writer_lock``)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._writer_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 def shard_col(n_shards: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_shards)).cast("int")
 
@@ -122,7 +148,29 @@ class SegmentStore:
         if not os.path.exists(self._manifest_path):
             return []
         with open(self._manifest_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            entries = [json.loads(line) for line in f if line.strip()]
+        # Idempotent folding: a crash-window race can append the SAME
+        # (shard, delta) commit twice — a concurrent reader's
+        # recover() finishes a rename-committed unit whose writer then
+        # also appends its own entry. Both entries are recomputed from
+        # the unit's contents, so keep the first and drop replays
+        # (without this, the duplicate would double-count
+        # n_docs/sum_doclen in the per-shard folds on load). Merge
+        # markers ({**st, "merged_from": ...}) legitimately reuse
+        # their shard's current delta index and are keyed separately.
+        seen: set = set()
+        out = []
+        for e in entries:
+            key = (
+                e["shard"],
+                e["delta"],
+                tuple(e["merged_from"]) if "merged_from" in e else None,
+            )
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(e)
+        return out
 
     def _append_manifest(self, entry: dict) -> None:
         # concurrent shard builds (build(max_concurrent>1)) append from
@@ -131,6 +179,91 @@ class SegmentStore:
             os.makedirs(self.path, exist_ok=True)
             with open(self._manifest_path, "a") as f:
                 f.write(json.dumps(entry) + "\n")
+
+    # -- single-writer lock ------------------------------------------------
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, "_writer.lock")
+
+    def _writer_lock(self):
+        """Context manager enforcing the single-writer-per-store
+        contract ACROSS PROCESSES (the documented assumption of
+        ``recover(sweep_tmp=False)`` — see :meth:`recover`). An atomic
+        ``O_CREAT|O_EXCL`` lockfile holds the writer's PID; a second
+        process raises :class:`ConcurrentWriterError` while the owner
+        is alive, and STEALS the lock if the recorded PID is dead
+        (stale lock after a crash — recover() then heals any torn
+        commit). Re-entrant within one process via a depth registry,
+        so nested write paths (repair→expunge, compact→merge_units)
+        and build(max_concurrent) threads share one acquisition."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def guard():
+            key = os.path.abspath(self.path)
+            with _WRITER_DEPTH_GUARD:
+                depth = _WRITER_DEPTH.get(key, 0)
+                if depth == 0:
+                    self._acquire_lockfile()
+                _WRITER_DEPTH[key] = depth + 1
+            try:
+                yield
+            finally:
+                with _WRITER_DEPTH_GUARD:
+                    _WRITER_DEPTH[key] -= 1
+                    if _WRITER_DEPTH[key] == 0:
+                        del _WRITER_DEPTH[key]
+                        try:
+                            os.remove(self._lock_path)
+                        except OSError:
+                            pass
+
+        return guard()
+
+    def _acquire_lockfile(self, max_steals: int = 3) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        for _ in range(max_steals):
+            try:
+                fd = os.open(
+                    self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as f:
+                    f.write(json.dumps({"pid": os.getpid()}))
+                return
+            except FileExistsError:
+                pass
+            try:
+                with open(self._lock_path) as f:
+                    owner = int(json.load(f)["pid"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                owner = None  # torn lock write: treat as stale
+            if owner == os.getpid():
+                return  # already ours (registry lost to a prior error)
+            if owner is not None:
+                try:
+                    os.kill(owner, 0)  # probe only; signal 0 delivers nothing
+                    raise ConcurrentWriterError(
+                        f"store {self.path} is locked by live writer "
+                        f"pid {owner} (single-writer contract)"
+                    )
+                except ProcessLookupError:
+                    pass  # owner died: stale lock
+                except PermissionError:
+                    # pid exists but isn't ours to probe: assume live
+                    raise ConcurrentWriterError(
+                        f"store {self.path} is locked by writer pid "
+                        f"{owner} (single-writer contract)"
+                    )
+            # stale: remove and retry the exclusive create (a racing
+            # second stealer loses the O_EXCL and re-probes the winner)
+            try:
+                os.remove(self._lock_path)
+            except OSError:
+                pass
+        raise ConcurrentWriterError(
+            f"could not acquire writer lock for {self.path}"
+        )
 
     def shard_state(self) -> dict[int, dict]:
         """Latest watermark/next_id per shard from the manifest."""
@@ -144,6 +277,7 @@ class SegmentStore:
 
     # -- build -------------------------------------------------------------
 
+    @_single_writer
     def build(
         self,
         turns: DataFrame,
@@ -193,6 +327,7 @@ class SegmentStore:
             for f in [pool.submit(one, s) for s in todo]:
                 f.result()  # surface the first failure
 
+    @_single_writer
     def append(self, new_turns: DataFrame) -> None:
         """Sip-style incremental append: index only rows beyond each
         shard's watermark, as a new delta segment per touched shard.
@@ -286,6 +421,7 @@ class SegmentStore:
                 ),
             )
 
+    @_single_writer
     def repair(self, repairs: DataFrame, version_col: str = "ts") -> None:
         """Versioned upsert — the reference's REPAIR path
         (``MiruIndexer.java:128-162``: an incoming activity whose version
@@ -486,6 +622,7 @@ class SegmentStore:
 
     # -- merge (compaction) ------------------------------------------------
 
+    @_single_writer
     def merge_shard(self, shard: int, retain_sources: bool = False) -> None:
         """Compact all of a shard's live segments into one (delta→chunk
         merge, reference MiruPartitionAccessor.merge:362-387).
@@ -566,6 +703,7 @@ class SegmentStore:
             for p in paths:
                 shutil.rmtree(p, ignore_errors=True)
 
+    @_single_writer
     def merge_units(
         self, shard: int, units: list[str], retain_sources: bool = False
     ) -> None:
@@ -617,6 +755,7 @@ class SegmentStore:
                 raise ValueError(f"live unit {n} overlaps merge span")
         self._commit_merge(shard, st, units, merged_name, retain_sources)
 
+    @_single_writer
     def vacuum_shard(self, shard: int) -> int:
         """Delete every superseded (non-live) unit and tmp dir of one
         shard; returns how many were removed. This is the expiry half
@@ -688,6 +827,7 @@ class SegmentStore:
             run = [i]
         return plans
 
+    @_single_writer
     def compact(
         self,
         merge_factor: int = 10,
@@ -726,6 +866,7 @@ class SegmentStore:
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             return sum(pool.map(one, plans))
 
+    @_single_writer
     def expunge_shard(self, shard: int, drop: DataFrame) -> None:
         """Physically remove tombstoned docs from one shard — Lucene
         ``expungeDeletes``/``forceMerge`` parity over the reference's
@@ -953,6 +1094,7 @@ class SegmentStore:
             elif os.path.isdir(os.path.join(sdir, f"delta_{top:04d}")):
                 self._finish_delta_commit(s, st, top)
 
+    @_single_writer
     def expunge(self, drop: DataFrame) -> None:
         """Expunge tombstoned docints (``drop``: a docint column) from
         every shard they touch. One tiny aggregation routes docints to

@@ -46,7 +46,10 @@ destination-dedupes contract), and persists the shrunken queue
 tmp+rename, so a crash mid-round re-ships at most the in-flight batch.
 Backfilled rows land through :meth:`SegmentStore.repair`'s insert path
 (their keys predate the destination watermark, so a plain append would
-silently drop them as stale).
+silently drop them as stale). If a source merge compacts queued units
+away mid-backfill, the walker substitutes the covering ``merged_`` unit
+and still ships through the repair path — see
+:meth:`SyncSender._queue_live_map`.
 """
 
 from __future__ import annotations
@@ -156,16 +159,64 @@ class SyncSender:
         self._record(shipped, queue)
         return len(queue)
 
-    def reverse_pending(self) -> list[str]:
-        """Reverse-queue unit names still to backfill (newest-first);
-        empty when no queue is active or the walk is done."""
+    def _queue_live_map(self) -> tuple[list[str], dict]:
+        """Map the persisted reverse queue onto LIVE source units.
+
+        A source merge may compact queued deltas into a ``merged_``
+        unit. The queued rows still exist — inside the covering unit —
+        but letting them ride that unit through the watermark-gated
+        forward ``append`` would silently drop every key below the
+        destination watermark once newer data has forward-shipped
+        (permanent loss). So a queued unit that is no longer live is
+        SUBSTITUTED by its covering live unit (same shard dir, span
+        containment — the merge that consumed it) and backfilled
+        through the same anti-join + repair path as any other queued
+        unit. Substitution is safe even if the covering unit also
+        carries already-delivered rows: the key anti-join arbitrates
+        them to already-present.
+
+        Returns ``(effective_queue, covers)`` where
+        ``covers[eff_unit]`` lists the original queue entries that
+        unit carries (cursor bookkeeping) and ``covers[None]`` lists
+        entries with NO covering unit left on disk (vacuumed /
+        expunged away at the source — nothing exists to ship)."""
         p = self._progress()
-        # a source merge may have compacted queued deltas away — their
-        # rows ride the merged_ unit through the forward path instead
+        raw = p["reverse_pending"] or []
+        if not raw:
+            return [], {}
         live = {
             os.path.relpath(u, self.src.path) for u in self.src.live_units()
         }
-        return [r for r in (p["reverse_pending"] or []) if r in live]
+        spans = {r: self.src._unit_span(os.path.basename(r)) for r in live}
+        queue: list[str] = []
+        covers: dict = {}
+        for r in raw:
+            if r in live:
+                eff = r
+            else:
+                shard_dir = os.path.dirname(r)
+                lo, hi = self.src._unit_span(os.path.basename(r))
+                eff = next(
+                    (
+                        c
+                        for c in sorted(live)
+                        if os.path.dirname(c) == shard_dir
+                        and spans[c][0] <= lo
+                        and hi <= spans[c][1]
+                    ),
+                    None,
+                )
+            if eff not in covers and eff is not None:
+                queue.append(eff)
+            covers.setdefault(eff, []).append(r)
+        return queue, covers
+
+    def reverse_pending(self) -> list[str]:
+        """Reverse-queue unit names still to backfill (newest-first),
+        mapped onto live units (a compacted queued delta appears as its
+        covering ``merged_`` unit); empty when no queue is active or
+        the walk is done."""
+        return self._queue_live_map()[0]
 
     def sync_reverse(self, batch: int = 1) -> dict:
         """One backfill round: ship the next ``batch`` queued units'
@@ -175,14 +226,18 @@ class SyncSender:
         a crash after the repair but before the cursor write re-ships
         the same unit and every row arbitrates to already-present.
         Rows land via ``dest.repair`` (plain-insert arbitration), since
-        their keys predate the destination's shard watermarks."""
-        queue = self.reverse_pending()
-        take, rest = queue[:batch], queue[batch:]
+        their keys predate the destination's shard watermarks. When the
+        walk completes, the queue is CLOSED (``reverse_pending`` reset
+        to None) so a later :meth:`init_reverse` can start a fresh
+        backfill."""
+        queue, covers = self._queue_live_map()
+        take = queue[:batch]
+        p = self._progress()
         if not take:
-            p = self._progress()
-            if p["reverse_pending"]:
-                # everything left was compacted away: close the queue
-                self._record(set(p["units"]), rest)
+            if p["reverse_pending"] is not None:
+                # walk done (or every remaining entry vacuumed away at
+                # the source): close the queue
+                self._record(set(p["units"]), None)
             return {"units": 0, "rows": 0}
         docs = self.src.spark.read.parquet(
             *[os.path.join(self.src.path, r, "docs") for r in take]
@@ -197,8 +252,15 @@ class SyncSender:
         else:
             n_rows = turns.count()
             self.dest.append(turns)
-        p = self._progress()
+        # Cursor bookkeeping: a shipped unit counts as forward-shipped
+        # too (a substituted merged_ unit is FULLY delivered by the
+        # anti-join path, so forward need not re-append it), and every
+        # original queue entry a shipped unit covers leaves the queue —
+        # as do entries with nothing left on disk to ship.
         shipped = set(p["units"])
         shipped.update(take)
-        self._record(shipped, rest)
+        done = {orig for eff in take for orig in covers.get(eff, [])}
+        done.update(covers.get(None, []))
+        rest = [r for r in (p["reverse_pending"] or []) if r not in done]
+        self._record(shipped, rest or None)
         return {"units": len(take), "rows": n_rows}

@@ -123,6 +123,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | str | None = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with Jaccard(k-shingles) ≥ t.
 
@@ -142,7 +143,8 @@ def ngram_jaccard_pairs(
     sh = shingles(docs, k, id_col, text_col, hashed=True).cache()
     cached.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     if max_df == "auto":
         max_df = max(64, -(-n_docs // 200))
     join_sh, capped_sh = _df_cap_split(sh, max_df, cached)
@@ -378,6 +380,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs, verified with exact Jaccard ≥ t.
 
@@ -399,7 +402,8 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -483,6 +487,7 @@ def simhash_dup_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance ``max_hamming``
     of their 32-bit SimHashes.
@@ -520,7 +525,8 @@ def simhash_dup_pairs(
             )
         ).alias("_bk"),
     ).select("id", "simhash", "_bk.band", "_bk.key")
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -199,6 +199,7 @@ def cosine_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH candidate generation — the
     scale path that replaces :func:`cosine_dup_pairs`' all-pairs
@@ -224,7 +225,8 @@ def cosine_dup_pairs_lsh(
     ).cache()
     from miru_spark.operators.dedup import _shj
 
-    n_vecs = emb.count()
+    if n_vecs is None:
+        n_vecs = emb.count()
     a = assign.alias("a")
     b = assign.alias("b")
     cand = (

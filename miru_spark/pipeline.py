@@ -127,8 +127,11 @@ def prepare_training_data(
     # near_k: 3-gram shingles for the small-corpus catalog/oracle runs;
     # real web-scale corpora use 5+ (rarer shingles => smaller candidate
     # buckets under the same df cap — see tools/bench_pipeline_soak.py)
+    # reuse the metrics count as the SHJ-gate corpus size (saves the
+    # extra count action inside ngram_jaccard_pairs when metrics are on)
     pairs = ngram_jaccard_pairs(exact, k=near_k, threshold=jaccard,
-                                id_col=id_col, text_col=text_col)
+                                id_col=id_col, text_col=text_col,
+                                n_docs=metrics.get("docs_after_exact_dedup"))
     deduped = dedup_corpus(exact, pairs, id_col=id_col)
     if cache_stages:
         deduped = deduped.persist()

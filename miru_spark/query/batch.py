@@ -17,17 +17,28 @@ and their negations) peel off the text subtree exactly like the
 single-query plan: ONE shared docs scan evaluates every masked query's
 predicate and the (qid, docint) pairs filter the post-agg relation.
 
-Exact phrases batch too (positions-bearing index): each phrase's
-(term, offset) leaves join ONE shared positions scan; a phrase
-occurrence at start s puts leaf i at position s+i, so exploding the
-shift-normalized positions and counting distinct leaves per
-(qid, docint, start) finds occurrences for EVERY phrase in the batch in
-one groupBy — the batched twin of ``phrase_match_docs``'s
-array-intersect chain. Scoring rides the same scan (member terms score
-as ordinary leaves, ``search_phrase`` parity), and doc-metadata
-conjuncts on a phrase ride the same shared mask docs scan as fused
-queries' masks. Anything else (ordered proximity ``"a b"~N``, OR over
-metadata) falls back to the single-query engine.
+Phrases batch too (positions-bearing index): each phrase's
+(term, offset) leaves join ONE shared positions scan. For EXACT
+phrases, a phrase occurrence at start s puts leaf i at position s+i,
+so exploding the shift-normalized positions and counting distinct
+leaves per (qid, docint, start) finds occurrences for every phrase in
+the batch in one groupBy — the batched twin of ``phrase_match_docs``'s
+array-intersect chain. ORDERED PROXIMITY (``"a b"~N``) rides the same
+scan: each candidate (qid, docint) collects its offset-sorted position
+legs and evaluates the greedy ordered chain of
+``phrase.proximity_match_docs`` as one ``F.aggregate`` fold — all
+JVM-side, one extra groupBy for the whole batch's slop queries.
+Scoring rides the same scan (member terms score as ordinary leaves,
+``search_phrase`` parity), and doc-metadata conjuncts on a phrase ride
+the same shared mask docs scan as fused queries' masks.
+
+OR-over-metadata (``text OR role:assistant``) batches as well: the
+text disjuncts ride the shared postings scan as an ordinary OR and the
+metadata disjuncts ride the shared mask docs scan, whose (qid, docint)
+pairs UNION IN as 0.0-scored candidates (tree-plan ``scored_matches``
+parity: docs matched only by metadata score 0). Anything else
+(non-flat mixed boolean trees, metadata fields the docs relation does
+not carry) falls back to the single-query engine.
 """
 
 from __future__ import annotations
@@ -52,19 +63,23 @@ from miru_spark.query.bm25 import (
 from miru_spark.query.parser import parse_query
 
 
-def _apply_masks(scored: DataFrame, index, mask_specs: dict) -> DataFrame:
-    """Filter a (qid, docint, …) relation by the batch's doc-metadata
-    masks: ONE docs scan evaluates every masked query's doc-level
-    predicate, a doc emits the qids it satisfies, and the (qid, docint)
-    pairs filter the relation — the batched twin of the single-query
-    plan's mask semi-join. Shared by the fused and phrase blocks (each
-    applies it to its own scored relation; non-masked qids pass
-    through)."""
-    if not mask_specs:
-        return scored
+def _mask_docs_pairs(
+    index, mask_specs: dict, or_specs: dict
+) -> DataFrame | None:
+    """(qid, docint) pairs from ONE docs scan, for every
+    metadata-bearing query in the batch: an AND-mask qid (``mask_specs``
+    — doc-metadata conjuncts peeled off a fused/phrase query) emits the
+    docs satisfying its full conjunction; an OR-meta qid (``or_specs``
+    — metadata disjuncts of an OR-over-metadata query) emits the docs
+    satisfying ANY of its disjuncts. The single relation is consumed by
+    one join in ``search_batch`` (AND pairs filter, OR pairs union in
+    as 0.0-score candidates), so the docs scan runs exactly once per
+    batch regardless of how many blocks carry masks."""
+    if not mask_specs and not or_specs:
+        return None
     from miru_spark.query.filters import _meta_pred
 
-    def _mask_pred(pos_meta, neg_meta):
+    def _and_pred(pos_meta, neg_meta):
         pred = F.lit(True)
         for l in pos_meta:
             pred = pred & _meta_pred(l)
@@ -72,26 +87,45 @@ def _apply_masks(scored: DataFrame, index, mask_specs: dict) -> DataFrame:
             pred = pred & ~F.coalesce(_meta_pred(l), F.lit(False))
         return pred
 
-    qid_arr = F.array_compact(
-        F.array(
-            *[
-                F.when(_mask_pred(pm, nm), F.lit(q))
-                for q, (pm, nm) in sorted(mask_specs.items())
-            ]
-        )
-    )
-    mask_pairs = index.docs.select("docint", F.explode(qid_arr).alias("qid"))
-    return (
-        scored.join(
-            mask_pairs.withColumn("_mok", F.lit(1)),
-            ["qid", "docint"],
-            "left",
-        )
-        .where(
-            (~F.col("qid").isin(sorted(mask_specs))) | F.col("_mok").isNotNull()
-        )
-        .drop("_mok")
-    )
+    def _or_pred(leaves):
+        pred = F.lit(False)
+        for l in leaves:
+            pred = pred | F.coalesce(_meta_pred(l), F.lit(False))
+        return pred
+
+    whens = [
+        F.when(_and_pred(pm, nm), F.lit(q))
+        for q, (pm, nm) in sorted(mask_specs.items())
+    ] + [
+        F.when(_or_pred(ls), F.lit(q)) for q, ls in sorted(or_specs.items())
+    ]
+    qid_arr = F.array_compact(F.array(*whens))
+    return index.docs.select("docint", F.explode(qid_arr).alias("qid"))
+
+
+def _or_meta_split(node) -> tuple[list, list] | None:
+    """``Or(text leaves…, doc-meta leaves…)`` → (text_leaves,
+    meta_leaves) with ≥ 1 meta leaf, else None — the OR-over-metadata
+    query class. Semantics (tree-plan ``scored_matches`` parity):
+    matched = text-OR ∪ metadata-any; score = BM25 over the query's
+    text terms, 0.0 for docs matched only by metadata."""
+    from miru_spark.query.ast import Or
+    from miru_spark.query.bm25 import _flat_children, _is_doc_meta_leaf
+
+    if not isinstance(node, Or):
+        return None
+    text: list = []
+    meta: list = []
+    for c in _flat_children(node, Or):
+        if isinstance(c, (Term, Prefix)) and c.field == "text":
+            text.append(c)
+        elif _is_doc_meta_leaf(c):
+            meta.append(c)
+        else:
+            return None
+    if not meta:
+        return None
+    return text, meta
 
 
 def search_batch(
@@ -128,6 +162,10 @@ def search_batch(
     # queries (bm25._peel_meta_conjuncts): evaluated in ONE shared docs
     # scan and applied as a (qid, docint) join after the aggregation
     mask_specs: dict[str, tuple[list, list]] = {}
+    # qid -> metadata disjuncts of OR-over-metadata queries (share the
+    # same docs scan; their pairs union in as 0.0-score candidates)
+    or_specs: dict[str, list] = {}
+    or_k: dict[str, int] = {}
     for item in queries:
         qid, qs, k = item[0], item[1], item[2]
         opts = item[3] if len(item) > 3 else {}
@@ -165,7 +203,6 @@ def search_batch(
         sub, pos_meta, neg_meta = _peel_meta_conjuncts(node)
         if (
             isinstance(sub, Phrase)
-            and sub.slop == 0
             and len(sub.values) >= 2
             and tie is None
             and "positions" in index.postings.columns
@@ -174,15 +211,16 @@ def search_batch(
                 or _meta_fields_known(index, [*pos_meta, *neg_meta])
             )
         ):
-            # exact phrase → shared positional scan (see module doc);
-            # leaf per (term, offset) occurrence in the phrase. Doc-
-            # metadata conjuncts ride the SAME shared mask docs scan as
-            # fused queries' masks.
+            # phrase (exact OR ordered-proximity "a b"~N) → shared
+            # positional scan (see module doc); leaf per (term, offset)
+            # occurrence in the phrase. Doc-metadata conjuncts ride the
+            # SAME shared mask docs scan as fused queries' masks.
             if pos_meta or neg_meta:
                 mask_specs[qid] = (pos_meta, neg_meta)
             for off, val in enumerate(sub.values):
                 phrase_rows.append(
-                    (qid, off, val, float(sub.boost), k, len(sub.values))
+                    (qid, off, val, float(sub.boost), k,
+                     len(sub.values), int(sub.slop))
                 )
             continue
         if sub is None or (
@@ -198,6 +236,28 @@ def search_batch(
             # as weightless presence rows (see bm25._fusable_not)
             fn = _fusable_not(sub)
             if fn is None or tie is not None:
+                # OR-over-metadata: text disjuncts ride the shared scan
+                # as an ordinary OR; metadata disjuncts ride the shared
+                # mask docs scan and union in as 0.0-score candidates
+                om = None
+                if tie is None and not (pos_meta or neg_meta):
+                    om = _or_meta_split(sub)
+                if om is not None and _meta_fields_known(index, om[1]):
+                    text_leaves, meta_leaves = om
+                    or_specs[qid] = meta_leaves
+                    or_k[qid] = k
+                    lb = {}
+                    for l in text_leaves:
+                        key = (isinstance(l, Prefix), l.value)
+                        lb[key] = max(lb.get(key, 0.0), l.boost)
+                    for i, ((is_pref, val), boost) in enumerate(
+                        sorted(lb.items())
+                    ):
+                        fused_rows.append(
+                            (qid, i, "prefix" if is_pref else "term",
+                             val, boost, "or", 1, k, False, None)
+                        )
+                    continue
                 fallback.append((qid, qs, k, opts))
                 continue
             f, neg_leaves = ("and", fn[0]), fn[1]
@@ -256,6 +316,9 @@ def search_batch(
             )
 
     parts: list[DataFrame] = []
+    # scored-but-unranked relations (qid, docint, score, _k) from the
+    # fused and phrase blocks — masked/tombstoned/ranked together below
+    pre_rank: list[DataFrame] = []
     if fused_rows:
         leaves_df = spark.createDataFrame(
             fused_rows,
@@ -353,23 +416,13 @@ def search_batch(
                 ).otherwise(F.col("_sum")),
             )
         )
-        scored = _apply_masks(scored, index, mask_specs)
-        if index.tombstones is not None:
-            scored = scored.join(
-                index.tombstones.select("docint"), "docint", "left_anti"
-            )
-        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docint"))
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("_k"))
-            .select("qid", "docint", "score", "rank")
-        )
-        parts.append(topk)
+        pre_rank.append(scored.select("qid", "docint", "score", "_k"))
 
     if phrase_rows:
         pl = spark.createDataFrame(
             phrase_rows,
-            "qid string, off int, term string, boost double, k int, n_leaves int",
+            "qid string, off int, term string, boost double, k int, "
+            "n_leaves int, slop int",
         )
         # resolve member terms against the term-stats table (idf), pick
         # ONE scoring row per (qid, term) — a term repeated at several
@@ -389,16 +442,21 @@ def search_batch(
         terms_needed = sorted({r[2] for r in phrase_rows})
         pscan = index.postings.where(F.col("term").isin(terms_needed))
         pj = pscan.join(plw, "term")
-        # occurrence check: leaf i of a phrase occurrence starting at s
-        # sits at position s+i, so shift-normalized starts that carry
-        # ALL leaves are occurrences — one groupBy for every phrase
-        occ = pj.select(
-            "qid",
-            "docint",
-            "off",
-            "n_leaves",
-            F.explode("positions").alias("p"),
-        ).withColumn("start", F.col("p") - F.col("off"))
+        # occurrence check for EXACT phrases: leaf i of a phrase
+        # occurrence starting at s sits at position s+i, so
+        # shift-normalized starts that carry ALL leaves are occurrences
+        # — one groupBy for every exact phrase
+        occ = (
+            pj.where(F.col("slop") == 0)
+            .select(
+                "qid",
+                "docint",
+                "off",
+                "n_leaves",
+                F.explode("positions").alias("p"),
+            )
+            .withColumn("start", F.col("p") - F.col("off"))
+        )
         matched = (
             occ.groupBy("qid", "docint", "start")
             .agg(
@@ -409,6 +467,46 @@ def search_batch(
             .select("qid", "docint")
             .distinct()
         )
+        if any(r[6] > 0 for r in phrase_rows):
+            # ordered proximity ("a b"~N): per candidate (qid, docint),
+            # collect the offset-sorted position legs and run the SAME
+            # greedy ordered chain as phrase.proximity_match_docs — an
+            # F.aggregate fold of _advance over the legs, entirely
+            # JVM-side; window = n_leaves - 1 + slop
+            from miru_spark.query.phrase import _advance
+
+            legs = (
+                pj.where(F.col("slop") > 0)
+                .select(
+                    "qid", "docint", "off", "n_leaves", "slop", "positions"
+                )
+                .groupBy("qid", "docint")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("off", "positions"))
+                    ).alias("legs"),
+                    F.first("n_leaves").alias("_need"),
+                    F.first("slop").alias("_slop"),
+                )
+                # every offset present (one pj row per (qid, off, docint))
+                .where(F.size("legs") == F.col("_need"))
+            )
+            carry0 = F.transform(
+                F.element_at("legs", 1)["positions"],
+                lambda p: F.struct(p.alias("start"), p.alias("cur")),
+            )
+            chain = F.aggregate(
+                F.expr("slice(legs, 2, size(legs) - 1)"),
+                carry0,
+                lambda acc, leg: _advance(acc, leg["positions"]),
+            )
+            window_sz = F.col("_need") - 1 + F.col("_slop")
+            prox_matched = legs.where(
+                F.exists(
+                    chain, lambda s: s["cur"] - s["start"] <= window_sz
+                )
+            ).select("qid", "docint")
+            matched = matched.unionByName(prox_matched)
         scored_p = (
             pj.where(F.col("_lr") == 1)
             .withColumn(
@@ -426,14 +524,71 @@ def search_batch(
             # small next to the scored term-match relation)
             .join(matched.hint("shuffle_hash"), ["qid", "docint"], "left_semi")
         )
-        scored_p = _apply_masks(scored_p, index, mask_specs)
+        pre_rank.append(scored_p.select("qid", "docint", "score", "_k"))
+
+    if pre_rank or or_specs:
+        # Masks, tombstones and the top-k window run ONCE over the
+        # union of the fused and phrase scored relations (qids are
+        # disjoint across blocks), so a batch mixing masked fused AND
+        # masked phrase queries still evaluates the mask docs scan a
+        # single time — the documented ONE-docs-scan contract — instead
+        # of once per block.
+        if pre_rank:
+            all_scored = pre_rank[0]
+            for p in pre_rank[1:]:
+                all_scored = all_scored.unionByName(p)
+        else:  # pure-metadata OR queries only
+            all_scored = spark.createDataFrame(
+                [], "qid string, docint long, score double, _k int"
+            )
+        mask_pairs = _mask_docs_pairs(index, mask_specs, or_specs)
+        if mask_pairs is not None:
+            # ONE join consumes the single mask-pairs relation for both
+            # mask classes: an AND-masked qid keeps only rows present
+            # on BOTH sides; an OR-meta qid keeps either side (pairs
+            # without a scored row become 0.0-score candidates); every
+            # other qid keeps its scored rows untouched.
+            and_qids = sorted(mask_specs)
+            or_qids = sorted(or_specs)
+            join_type = "full_outer" if or_specs else "left"
+            j = all_scored.join(
+                mask_pairs.withColumn("_mp", F.lit(1)),
+                ["qid", "docint"],
+                join_type,
+            )
+            is_and = F.col("qid").isin(and_qids) if and_qids else F.lit(False)
+            is_or = F.col("qid").isin(or_qids) if or_qids else F.lit(False)
+            keep = (
+                F.when(
+                    is_and,
+                    F.col("score").isNotNull() & F.col("_mp").isNotNull(),
+                )
+                .when(is_or, F.lit(True))
+                .otherwise(F.col("score").isNotNull())
+            )
+            all_scored = (
+                j.where(keep)
+                .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+                .drop("_mp")
+            )
+            if or_k:
+                kmap = F.create_map(
+                    *[
+                        l
+                        for q, kk in sorted(or_k.items())
+                        for l in (F.lit(q), F.lit(kk))
+                    ]
+                )
+                all_scored = all_scored.withColumn(
+                    "_k", F.coalesce(F.col("_k"), kmap[F.col("qid")])
+                )
         if index.tombstones is not None:
-            scored_p = scored_p.join(
+            all_scored = all_scored.join(
                 index.tombstones.select("docint"), "docint", "left_anti"
             )
-        wp = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docint"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("docint"))
         parts.append(
-            scored_p.withColumn("rank", F.row_number().over(wp))
+            all_scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= F.col("_k"))
             .select("qid", "docint", "score", "rank")
         )

@@ -29,7 +29,12 @@ QUERIES = [
     ("p4", '"w00002 w00003"^2', 5),  # phrase boost
     ("p5", 'role:user AND "w00000 w00001"', 5),  # masked phrase: shared mask scan
     ("p5b", 'tool:bash AND NOT role:user AND "w00001 w00000"', 5),
-    ("p6", '"w00000 w00001"~2', 5),  # proximity → fallback
+    ("p6", '"w00000 w00001"~2', 5),  # ordered proximity: batches (r5)
+    ("p7", '"w00001 w00004"~3', 5),  # proximity, distinct terms
+    ("p8", 'role:user AND "w00000 w00001"~2', 5),  # masked proximity
+    ("m1", "w00001 OR role:assistant", 10),  # OR-over-metadata (r5)
+    ("m2", "role:user OR tool:bash", 5),  # pure-metadata OR (0.0 scores)
+    ("m3", "w00003 OR w00007 OR role:assistant", 10),
 ]
 
 

@@ -312,3 +312,73 @@ def test_append_schema_gate_checks_union_of_units(spark, tiny_turns, tmp_path):
         store.append(late)  # oldest unit lacks source_tag; the union has it
     # carrying the evolved column is accepted
     store.append(late.withColumn("source_tag", F.lit("batch3")))
+
+
+def test_single_writer_lockfile_two_process(spark, tiny_turns, tmp_path):
+    """Cross-process single-writer contract is ENFORCED, not just
+    documented: while another live process holds the store's writer
+    lock, every write entry point raises ConcurrentWriterError; a lock
+    left by a DEAD process is stale and gets stolen."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from miru_spark.indexing.incremental import ConcurrentWriterError
+
+    store = _store(spark, tmp_path / "locked")
+    store.build(tiny_turns.where("conv_id < 'conv00000030'"))
+    assert not os.path.exists(store._lock_path)  # released after build
+
+    # a second LIVE process takes the lock and holds it
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import json,os,sys,time;"
+            "p=sys.argv[1];"
+            "fd=os.open(p,os.O_CREAT|os.O_EXCL|os.O_WRONLY);"
+            "os.write(fd,json.dumps({'pid':os.getpid()}).encode());"
+            "os.close(fd);print('held',flush=True);time.sleep(60)",
+            store._lock_path,
+        ],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"held"
+        with pytest.raises(ConcurrentWriterError):
+            store.append(tiny_turns.where("conv_id >= 'conv00000030'"))
+        with pytest.raises(ConcurrentWriterError):
+            store.compact()
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # the holder is dead now: its lock is stale and is stolen
+    assert os.path.exists(store._lock_path)
+    store.append(tiny_turns.where("conv_id >= 'conv00000030'"))
+    assert not os.path.exists(store._lock_path)
+    assert store.load().n_docs == tiny_turns.count()
+
+
+def test_manifest_duplicate_commit_entries_fold_once(
+    spark, tiny_turns, tmp_path
+):
+    """The reader-finishes-commit race can append the same (shard,
+    delta) entry twice; manifest() folding must dedupe so per-shard
+    n_docs/sum_doclen are not double-counted on load."""
+    store = _store(spark, tmp_path / "dup")
+    store.build(tiny_turns)
+    n = store.load().n_docs
+    man = store._manifest_path
+    with open(man) as f:
+        first = f.readline()
+    with open(man, "a") as f:
+        f.write(first)  # duplicate replay of the first commit
+    assert store.load().n_docs == n
+    assert store.load().avg_doclen == pytest.approx(
+        SegmentStore(spark, str(tmp_path / "dup"), n_shards=N_SHARDS)
+        .load()
+        .avg_doclen
+    )

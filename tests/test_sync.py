@@ -162,6 +162,69 @@ def test_reverse_backfill_replay_is_idempotent(spark, tiny_turns, tmp_path):
     assert n_before <= didx.n_docs
 
 
+def test_reverse_backfill_survives_source_compaction(
+    spark, tiny_turns, tmp_path
+):
+    """A source merge that compacts QUEUED reverse units away must not
+    lose their rows: the walker substitutes the covering merged_ unit
+    and ships it through the anti-join + repair path (a plain forward
+    append would watermark-drop the historical keys permanently)."""
+    src = SegmentStore(spark, str(tmp_path / "src"), n_shards=2)
+    dest = SegmentStore(spark, str(tmp_path / "dest"), n_shards=2)
+    old = tiny_turns.where("conv_id < 'conv00000040'")
+    new = tiny_turns.where("conv_id >= 'conv00000040'")
+
+    src.build(old)
+    sender = SyncSender(src, dest)
+    assert sender.init_reverse() > 0
+    src.append(new)
+    assert sender.sync()["rows"] == new.count()  # forward ships new data
+    # the destination watermark now covers every key range — a plain
+    # append of the historical rows would drop them all
+    for s in range(2):
+        src.merge_shard(s)  # queued delta_0 units are no longer live
+
+    # queue entries now surface as their covering merged_ units
+    pending = sender.reverse_pending()
+    assert pending and all("merged_" in r for r in pending)
+    while sender.reverse_pending():
+        sender.sync_reverse(batch=4)
+
+    didx = dest.load()
+    assert didx.n_docs == src.load().n_docs == tiny_turns.count()
+    dups = (
+        didx.docs.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dups == 0
+    assert _scores(didx) == _scores(src.load())
+
+
+def test_reverse_queue_closes_on_drain(spark, tiny_turns, tmp_path):
+    """Once the walk completes the queue is persisted as None (closed),
+    so a later init_reverse can open a NEW backfill instead of being a
+    permanent no-op."""
+    import json
+
+    src = SegmentStore(spark, str(tmp_path / "src"), n_shards=2)
+    dest = SegmentStore(spark, str(tmp_path / "dest"), n_shards=2)
+    old = tiny_turns.where("conv_id < 'conv00000030'")
+    src.build(old)
+    sender = SyncSender(src, dest)
+    sender.init_reverse()
+    while sender.reverse_pending():
+        sender.sync_reverse(batch=4)
+    with open(sender.progress_path) as f:
+        assert json.load(f)["reverse_pending"] is None
+
+    # a new (never-shipped) source unit can seed a fresh backfill queue
+    src.append(tiny_turns.where("conv_id >= 'conv00000030'"))
+    n_q = sender.init_reverse()
+    assert n_q > 0
+    while sender.reverse_pending():
+        sender.sync_reverse(batch=4)
+    assert dest.load().n_docs == tiny_turns.count()
+
+
 def test_sync_preserves_turn_payload(spark, tiny_turns, tmp_path):
     """Per-row invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering across the sync."""
