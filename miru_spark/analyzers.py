@@ -496,14 +496,53 @@ teríamos terá terão teu teus teve tinha tinham tínhamos tive tivemos
 tiver tivera tiveram tivéramos tiverem tivermos tivesse tivessem
 tivéssemos tu tua tuas tém tém um uma você vocês vos
 """,
-    "nl": "de het een en of maar in op voor van met dat die dit deze niet "
-    "is zijn was hij zij wij jullie ik je zich aan bij ook naar",
-    "da": "den det de en et og eller men i på for af med at der ikke er "
-    "var han hun vi jeg du sig til også som",
-    "sv": "den det de en ett och eller men i på för av med att som inte är "
-    "var han hon vi jag du sig till också",
-    "ru": "и в во не на он она оно они мы вы я ты что как его её их был "
-    "была были это этот эта для по из у за от до о при со а но же бы ли",
+    # nl/da/sv/ru at full Snowball scale (this engine's renditions of
+    # the published Snowball-project lists, same provenance note as the
+    # big locales above)
+    "nl": """
+aan al alles als altijd andere ben bij daar dan dat de der deze die dit
+doch doen door dus een en er geen geweest haar had heb hebben heeft hem
+het hier hij hoe hun iemand iets ik in is ja je jullie kan kon kunnen
+maar me meer men met mij mijn moet na naar niet niets nog nu of om
+omdat onder ons ook op over reeds te tegen toch toen tot u uit uw van
+veel voor want waren was wat we wel werd wezen wie wil worden wordt zal
+ze zelf zich zij zijn zo zonder zou
+""",
+    "da": """
+af alle andet andre at begge da de den denne der deres det dette dig
+din dine disse dog du efter ej eller en end ene eneste enhver er et
+flere fra få gennem god han hans har havde have hende hendes her hos
+hun hvad hvem hver hvilken hvis hvor hvordan hvorfor hvornår i ikke ind
+ingen intet ja jeg jer jeres kan kom kommer kun kunne lidt lille man
+mand mange med meget men mens mere mig min mine mit mod ned nej nogen
+noget nogle nu ny nyt når nær næste næsten og også om op os over på se
+selv ser sig sin sine sit skal skulle som stor store så til ud under
+var ved vi vil ville vor være været
+""",
+    "sv": """
+alla allt att av blev bli blir blivit de dem den denna deras dess
+dessa det detta dig din dina ditt du där då efter ej eller en er era
+ert ett från för ha hade han hans har henne hennes hon honom hur här i
+icke ingen inom inte jag ju kan kunde man med mellan men mig min mina
+mitt mot mycket ni nu någon något några när och om oss på samma sedan
+sig sin sina sitta själv skulle som sådan sådana sådant så till under
+upp ut utan vad var vara varför varit varje vars vart vem vi vid vilka
+vilkas vilken vilket vår våra vårt än är åt över
+""",
+    "ru": """
+а без белее больше будет будто бы был была были было быть в вам вас
+вдруг ведь во вот впрочем все всегда всего всех всю вы г где говорил да
+даже два для до другой его ее её ей ему если есть еще ещё ж же за
+зачем здесь и из из-за или им иногда их к как какая какой когда конечно
+которого которые кто куда ли лучше между меня мне много может можно мой
+моя мы на над надо наконец нас не него нее ней нельзя нет ни нибудь
+никогда ним них ничего но ну о об один он она они оно опять от перед по
+под после потом потому почти при про раз разве с сам свое свою себе
+себя сейчас сказал сказала сказать со совсем так такой там тебя тем
+теперь то тогда того тоже только том тот три тут ты у уж уже хорошо
+хоть чего человек чем через что чтоб чтобы чуть эти этого этой этом
+этот эту я
+""",
 }
 
 

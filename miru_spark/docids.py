@@ -65,7 +65,10 @@ def with_docint(turns: DataFrame) -> DataFrame:
     turns — and even that is spread over P tasks.
     """
     spark = turns.sparkSession
-    convs = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    convs = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sort_array(F.collect_list("turn_idx")).alias("_tix"),
+    )
     p = max(spark.sparkContext.defaultParallelism, 2)
     local = (
         convs.repartitionByRange(p, "conv_id")
@@ -89,20 +92,35 @@ def with_docint(turns: DataFrame) -> DataFrame:
     offsets = (
         local.withColumn("_loff", F.coalesce(F.sum("_n").over(w), F.lit(0)))
         .join(base_df, "_pid")
-        .select("conv_id", (F.col("_loff") + F.col("_base")).alias("_off"))
+        .select(
+            "conv_id", (F.col("_loff") + F.col("_base")).alias("_off"), "_tix"
+        )
     )
-    # within-conv rank instead of raw turn_idx: identical on contiguous
+    # Within-conv rank instead of raw turn_idx: identical on contiguous
     # transcripts (turn_idx = 0..n-1), and collision-free when turns
     # have been filtered/expunged (gappy turn_idx would otherwise spill
     # past the conversation's counted offset into the next conv's id
-    # range). The window partitions on conv_id — bounded partitions,
-    # reusing the join's hash partitioning; never a global sort.
-    wturn = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # range). The rank is looked up in the conv's SORTED turn_idx array
+    # (carried on the tiny conv-level relation from the same agg) — a
+    # per-row array_position, NOT a window: the former
+    # row_number() OVER (PARTITION BY conv_id) shuffled EVERY turn row,
+    # text included, purely to rank ~12 ints per group (round-5 paired
+    # harness attributed ~4 s of the 8-core build wall to it). With the
+    # conv relation under the broadcast threshold the turns side of
+    # this join is completely exchange-free; above it, Catalyst falls
+    # back to the same conv_id hash shuffle the window needed anyway —
+    # never worse. Duplicate (conv_id, turn_idx) keys — a violation of
+    # the store's key invariant, arbitrated upstream by
+    # watermark/repair — would map to one docint here rather than two.
     return (
         turns.join(offsets, "conv_id")
         .withColumn(
             "docint",
-            (F.col("_off") + F.row_number().over(wturn) - 1).cast("long"),
+            (
+                F.col("_off")
+                + F.expr("array_position(_tix, turn_idx)")
+                - F.lit(1)
+            ).cast("long"),
         )
-        .drop("_off")
+        .drop("_off", "_tix")
     )

@@ -1275,7 +1275,19 @@ _register(
     _TREND_SQL.format(prelude=SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1))
     + f""",
 maxes AS (SELECT term, MAX(y) AS mx FROM dense GROUP BY 1),
-b95 AS (SELECT quantile_cont(mx, 0.95) AS q FROM maxes),
+-- commons-math R-6 percentile (engine parity): pos = p*(n+1) on the
+-- 1-indexed sorted sample, clamped to [min, max], linear interpolation
+b95 AS (
+  SELECT CASE
+    WHEN 0.95 * (n + 1) < 1 THEN a[1]
+    WHEN 0.95 * (n + 1) >= n THEN a[n]
+    ELSE a[CAST(floor(0.95 * (n + 1)) AS INT)]
+         + (0.95 * (n + 1) - floor(0.95 * (n + 1)))
+           * (a[CAST(floor(0.95 * (n + 1)) AS INT) + 1]
+              - a[CAST(floor(0.95 * (n + 1)) AS INT)])
+  END AS q
+  FROM (SELECT list_sort(list(mx)) AS a, COUNT(*) AS n FROM maxes)
+),
 dlt AS (SELECT m.term, m.mx / 6 + b.q / 100 AS d FROM maxes m CROSS JOIN b95 b),
 pk AS (
   SELECT term, -1 AS i, 1e308 AS mn, -1e308 AS mx, 1 AS lf, 0 AS np FROM dlt
@@ -1341,7 +1353,19 @@ _register(
     _TREND_SQL.format(prelude=SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1))
     + f""",
 maxes AS (SELECT term, MAX(y) AS mx FROM dense GROUP BY 1),
-b95 AS (SELECT quantile_cont(mx, 0.95) AS q FROM maxes),
+-- commons-math R-6 percentile (engine parity): pos = p*(n+1) on the
+-- 1-indexed sorted sample, clamped to [min, max], linear interpolation
+b95 AS (
+  SELECT CASE
+    WHEN 0.95 * (n + 1) < 1 THEN a[1]
+    WHEN 0.95 * (n + 1) >= n THEN a[n]
+    ELSE a[CAST(floor(0.95 * (n + 1)) AS INT)]
+         + (0.95 * (n + 1) - floor(0.95 * (n + 1)))
+           * (a[CAST(floor(0.95 * (n + 1)) AS INT) + 1]
+              - a[CAST(floor(0.95 * (n + 1)) AS INT)])
+  END AS q
+  FROM (SELECT list_sort(list(mx)) AS a, COUNT(*) AS n FROM maxes)
+),
 dlt AS (SELECT m.term, m.mx / 6 + b.q / 100 AS d FROM maxes m CROSS JOIN b95 b),
 pk AS (
   SELECT term, -1 AS i, 1e308 AS mn, -1e308 AS mx, 1 AS lf, 0 AS np FROM dlt

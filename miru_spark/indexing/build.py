@@ -69,26 +69,136 @@ def postings_flat(
     back to the doc table, and block building needs no shuffle beyond
     its own groupBy. ``positions`` (token offsets) power phrase queries;
     skip them for a leaner index.
+
+    SHUFFLE-FREE (round 5): the per-(term, docint) tf/positions
+    aggregation is a PER-DOCUMENT computation — every occurrence of a
+    (term, docint) pair comes from one source row — so the former
+    ``explode → groupBy(term, docint)`` plan shuffled one row per token
+    purely to reunite rows that were never apart (map-side partial agg
+    already finished the combine; the exchange moved ~tokens rows and
+    scaled at the sandbox's worst ceiling — generic high-cardinality
+    shuffle measured 0.45-0.48 N→4N across rounds 4-5). The run-length
+    plan keeps everything inside one whole-stage-codegen projection:
+    sort the doc's token array, find run boundaries with a filter over
+    ``sequence``, emit one struct per run, explode. Measured: −21% at
+    2 cores, equal at 8 cores at 622k turns (BENCH/BASELINE.md r5) —
+    and on a real cluster it removes the full postings network shuffle
+    (the index build's only data-sized exchange besides the bucketed
+    write itself).
+
+    Struct-wraps chain each derived array so Catalyst materializes it
+    once per stage: referencing a raw expression from several consumers
+    re-evaluates it per consumer (verified in the physical plan), while
+    a struct field is computed a single time.
     """
-    # struct-wrap the token array so Catalyst materializes it once:
-    # referencing the raw expression from both size() and posexplode()
-    # re-evaluates the regex per consumer (verified in the physical
-    # plan), while the struct field is computed a single time.
-    wrapped = base.select(
-        "docint", F.struct(_tokens_fn(analyzer)(F.col("text")).alias("t")).alias("_s")
-    )
-    exploded = wrapped.select(
+    t1 = base.select(
         "docint",
-        F.size("_s.t").alias("doclen"),
-        F.posexplode("_s.t").alias("pos", "term"),
+        F.struct(_tokens_fn(analyzer)(F.col("text")).alias("t")).alias("_s"),
     )
-    aggs = [
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.first("doclen").alias("doclen"),
-    ]
     if positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return exploded.groupBy("term", "docint").agg(*aggs)
+        # sort (term, pos) structs: runs are per-term position lists,
+        # already ascending within each run
+        arr = F.transform(
+            F.sequence(F.lit(1), F.size("_s.t")),
+            lambda i: F.struct(
+                F.element_at("_s.t", i).alias("term"),
+                (i - 1).alias("pos"),
+            ),
+        )
+        t2 = t1.select(
+            "docint",
+            F.struct(
+                F.when(F.size("_s.t") > 0, F.sort_array(arr))
+                .otherwise(F.array().cast("array<struct<term:string,pos:int>>"))
+                .alias("s"),
+                F.size("_s.t").alias("n"),
+            ).alias("_o"),
+        )
+        s, n = F.col("_o.s"), F.col("_o.n")
+        ends = F.when(
+            n > 0,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == n)
+                | (
+                    F.element_at(s, i)["term"]
+                    != F.element_at(s, i + 1)["term"]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        t3 = t2.select("docint", "_o", F.struct(ends.alias("e")).alias("_e"))
+        e = F.col("_e.e")
+        sp = F.col("_o.s")
+        entries = F.transform(
+            e,
+            lambda x, j: F.struct(
+                F.element_at(sp, x)["term"].alias("term"),
+                (
+                    x
+                    - F.when(j == 0, F.lit(0)).otherwise(F.element_at(e, j))
+                )
+                .cast("int")
+                .alias("tf"),
+                F.transform(
+                    F.slice(
+                        sp,
+                        F.when(j == 0, F.lit(1)).otherwise(
+                            F.element_at(e, j) + 1
+                        ),
+                        x
+                        - F.when(j == 0, F.lit(0)).otherwise(
+                            F.element_at(e, j)
+                        ),
+                    ),
+                    lambda st: st["pos"],
+                ).alias("positions"),
+            ),
+        )
+        return t3.select(
+            "docint",
+            F.col("_o.n").alias("doclen"),
+            F.explode(entries).alias("_p"),
+        ).select(
+            F.col("_p.term").alias("term"),
+            "docint",
+            F.col("_p.tf").alias("tf"),
+            "doclen",
+            F.col("_p.positions").alias("positions"),
+        )
+    t2 = t1.select(
+        "docint",
+        F.struct(
+            F.sort_array("_s.t").alias("s"), F.size("_s.t").alias("n")
+        ).alias("_o"),
+    )
+    s, n = F.col("_o.s"), F.col("_o.n")
+    ends = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == n)
+            | (F.element_at(s, i) != F.element_at(s, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    t3 = t2.select("docint", "_o", F.struct(ends.alias("e")).alias("_e"))
+    e = F.col("_e.e")
+    entries = F.transform(
+        e,
+        lambda x, j: F.struct(
+            F.element_at(F.col("_o.s"), x).alias("term"),
+            (x - F.when(j == 0, F.lit(0)).otherwise(F.element_at(e, j)))
+            .cast("int")
+            .alias("tf"),
+        ),
+    )
+    return t3.select(
+        "docint", F.col("_o.n").alias("doclen"), F.explode(entries).alias("_p")
+    ).select(
+        F.col("_p.term").alias("term"),
+        "docint",
+        F.col("_p.tf").alias("tf"),
+        "doclen",
+    )
 
 
 def postings_flat_pandas(

@@ -15,10 +15,13 @@ per-term waveform (count of matching activities per segment,
   ``highestBucket/6 + bucket95/100``, where ``bucket95`` is the 95th
   percentile across terms of each term's highest bucket
   (``TrendingInjectable.java:126-140,176-179``). The reference uses
-  commons-math ``Percentile`` (R-6, p·(n+1) position); this engine uses
-  the SQL-standard linear interpolation (R-7, p·(n-1) — Spark
-  ``percentile`` == DuckDB ``quantile_cont``), a deliberate,
-  documented estimator swap.
+  commons-math ``Percentile`` (R-6: position p·(n+1) on the sorted
+  sample) — :func:`_percentile_r6` reproduces it exactly and is the
+  DEFAULT; ``percentile_estimator="r7"`` selects the SQL-standard
+  linear interpolation (R-7, p·(n-1) — Spark ``percentile`` == DuckDB
+  ``quantile_cont``) for SQL-ecosystem parity. The two differ at
+  percentile boundaries on small/adversarial samples, which can flip
+  rankings; the default is reference parity.
 - ``HIGHEST_PEAK`` — max bucket (``TrendingInjectable.java:180-184``).
 
 Spark-first shape: ONE groupBy(term, seg) count (the only data-sized
@@ -107,6 +110,50 @@ def _slope_col(arr: Column, n_segments: int) -> Column:
     return (sum_iy / F.lit(float(n - 1)) - F.lit(0.5) * sum_y) / F.lit(sxx)
 
 
+def _percentile_r6(sorted_arr: Column, p: float) -> Column:
+    """Hyndman & Fan R-6 percentile over a SORTED array column —
+    commons-math ``Percentile``'s default estimator (the reference's
+    ``bucket95``): position ``pos = p·(n+1)`` on the 1-indexed sorted
+    sample; below 1 → min, at/above n → max, else linear interpolation
+    between floor(pos) and floor(pos)+1. Differs from R-7
+    (``percentile``/``quantile_cont``, position p·(n−1)+1) at the
+    boundaries — e.g. p=0.95, n=10: R-6 interpolates between the 10th
+    and (clamped) max, R-7 between the 9th and 10th.
+
+    Memory note: the caller aggregates the per-term maxima into one
+    sorted array (one row). Spark's exact ``percentile`` agg buffers
+    the same values internally, so this is the identical memory
+    profile — O(vocabulary) doubles on one reducer, exactly what the
+    reference's driver-side commons-math call holds."""
+    n = F.size(sorted_arr)
+    pos = F.lit(float(p)) * (n.cast("double") + F.lit(1.0))
+    d = F.floor(pos).cast("int")
+    frac = pos - d.cast("double")
+    idx = F.greatest(F.least(d, n), F.lit(1))
+    idx1 = F.greatest(F.least(d + 1, n), F.lit(1))
+    lo = F.element_at(sorted_arr, idx)
+    hi = F.element_at(sorted_arr, idx1)
+    return (
+        F.when(pos < F.lit(1.0), F.element_at(sorted_arr, 1))
+        .when(pos >= n.cast("double"), F.element_at(sorted_arr, n))
+        .otherwise(lo + frac * (hi - lo))
+    )
+
+
+def _bucket95_agg(per: DataFrame, estimator: str) -> DataFrame:
+    """One-row (q) relation: the 95th percentile across terms of the
+    per-term max bucket, under the chosen estimator."""
+    if estimator == "r6":
+        return per.agg(
+            _percentile_r6(
+                F.sort_array(F.collect_list("mx")), 0.95
+            ).alias("q")
+        )
+    if estimator == "r7":
+        return per.agg(F.expr("percentile(mx, 0.95)").alias("q"))
+    raise ValueError(f"unknown percentile estimator {estimator!r}")
+
+
 def _peaks_col(arr: Column, delta: Column) -> Column:
     """Billauer peakdet (public domain; translated from the published
     algorithm, semantics-identical to ``PeakDet.java:45-81``): count of
@@ -143,6 +190,7 @@ def trending(
     strategy: str = "LINEAR_REGRESSION",
     k: int = 15,
     n_segments: int = 16,
+    percentile_estimator: str = "r6",
 ) -> DataFrame:
     """Rank terms by ``strategy`` over their (term, counts) waveforms —
     the reference's per-strategy MinMaxPriorityQueue top-k
@@ -174,8 +222,10 @@ def trending(
             "term", arr.alias("counts"), F.array_max(arr).cast("double").alias("mx")
         )
         # bucket95: 95th percentile across terms of per-term max —
-        # one tiny global agg, broadcast back (TrendingInjectable.java:126-140)
-        b95 = per.agg(F.expr("percentile(mx, 0.95)").alias("q"))
+        # one tiny global agg, broadcast back
+        # (TrendingInjectable.java:126-140); estimator r6 = commons-math
+        # parity (default), r7 = SQL quantile_cont
+        b95 = _bucket95_agg(per, percentile_estimator)
         per = per.crossJoin(F.broadcast(b95)).withColumn(
             "dlt", F.col("mx") / 6 + F.col("q") / 100
         )
@@ -190,6 +240,7 @@ def trending_multi(
     strategies: tuple[str, ...] = STRATEGIES,
     k: int = 15,
     n_segments: int = 16,
+    percentile_estimator: str = "r6",
 ) -> DataFrame:
     """(strategy, term, score) — per-strategy top-k for SEVERAL
     strategies computed in ONE pass over the waveform relation, the
@@ -221,7 +272,7 @@ def trending_multi(
     if "LINEAR_REGRESSION" in strategies:
         exprs["LINEAR_REGRESSION"] = F.round(_slope_col(arr, n_segments), 4)
     if "PEAKS" in strategies:
-        b95 = per.agg(F.expr("percentile(mx, 0.95)").alias("q"))
+        b95 = _bucket95_agg(per, percentile_estimator)
         per = per.crossJoin(F.broadcast(b95))
         exprs["PEAKS"] = _peaks_col(
             F.col("counts"), F.col("mx") / 6 + F.col("q") / 100

@@ -40,7 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: −44% segment bytes (0.267→0.149 GB per 600k
+        # turns), which relieves the shared write funnel that binds the
+        # high-core build levels (+15% build throughput at 8 cores in
+        # the r5 A/B) at a ~2% CPU cost at 2 cores — and at 100 TB the
+        # storage/IO saving compounds across every shuffle-read of the
+        # postings. Shuffle compression stays lz4 (zstd shuffle
+        # measured SLOWER at both levels — BENCH/BASELINE.md r5).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # NB: large heaps (48g) trigger sporadic multi-10s task stalls in
         # this gVisor sandbox; 8g is ample for local bench scales.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

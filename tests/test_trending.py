@@ -68,12 +68,26 @@ def wave_df(spark):
 
 def _b95(values):
     """R-7 linear-interpolated percentile (Spark percentile /
-    DuckDB quantile_cont)."""
+    DuckDB quantile_cont) — the percentile_estimator='r7' option."""
     s = sorted(values)
     pos = 0.95 * (len(s) - 1)
     lo = int(math.floor(pos))
     hi = min(lo + 1, len(s) - 1)
     return s[lo] + (pos - lo) * (s[hi] - s[lo])
+
+
+def _b95_r6(values):
+    """Hyndman-Fan R-6 percentile (commons-math Percentile — the
+    reference's estimator and the engine default)."""
+    s = sorted(values)
+    n = len(s)
+    pos = 0.95 * (n + 1)
+    if pos < 1:
+        return s[0]
+    if pos >= n:
+        return s[-1]
+    d = int(math.floor(pos))
+    return s[d - 1] + (pos - d) * (s[d] - s[d - 1])
 
 
 def test_leader_and_highest(wave_df):
@@ -99,18 +113,52 @@ def test_regression_slope(wave_df):
 
 
 def test_peaks_matches_python_automaton(wave_df):
-    maxes = [max(v) for _, v in WAVES]
-    q = _b95(maxes)
-    expected = {
-        k: py_peakdet(v, max(v) / 6 + q / 100) for k, v in WAVES
-    }
-    rows = {
-        r["term"]: r["score"]
-        for r in trending(wave_df, "PEAKS", k=10, n_segments=8).collect()
-    }
-    assert rows == expected
-    # sanity on the shape: the two-spike wave has 2 peaks, flat has 0
-    assert expected["spike"] == 2 and expected["flat"] == 0
+    # default estimator = R-6 (reference parity); r7 option also checked
+    for est, b95 in (("r6", _b95_r6), ("r7", _b95)):
+        q = b95([max(v) for _, v in WAVES])
+        expected = {
+            k: py_peakdet(v, max(v) / 6 + q / 100) for k, v in WAVES
+        }
+        rows = {
+            r["term"]: r["score"]
+            for r in trending(
+                wave_df, "PEAKS", k=10, n_segments=8,
+                percentile_estimator=est,
+            ).collect()
+        }
+        assert rows == expected, est
+        # sanity on the shape: the two-spike wave has 2 peaks, flat 0
+        assert expected["spike"] == 2 and expected["flat"] == 0
+
+
+def test_peaks_r6_vs_r7_boundary():
+    """A constructed corpus where the two estimators disagree and the
+    disagreement FLIPS a peak decision: 10 term maxima 10..100 give
+    bucket95 = 100 under R-6 (pos 10.45 clamps to max) vs 95.5 under
+    R-7 (9.55 interpolates), so the mx=60 term's delta is 11.0 vs
+    10.955 — and its integer drop of exactly 11 is a peak only under
+    R-7 (peakdet requires a drop STRICTLY exceeding delta)."""
+    from miru_spark.session import get_spark
+
+    spark = get_spark("trending_boundary", master="local[8]")
+    waves = []
+    for i, mx in enumerate(range(10, 101, 10)):
+        if mx == 60:
+            counts = [60.0, 49.0, 49.0, 49.0]  # drop of exactly 11
+        else:
+            counts = [float(mx)] * 4
+        waves.append((f"t{i}", counts))
+    df = spark.createDataFrame(waves, "term string, counts array<double>")
+    assert _b95_r6([max(v) for _, v in waves]) == 100.0
+    assert _b95([max(v) for _, v in waves]) == pytest.approx(95.5)
+    r6 = {r["term"]: r["score"]
+          for r in trending(df, "PEAKS", k=10, n_segments=4).collect()}
+    r7 = {r["term"]: r["score"]
+          for r in trending(df, "PEAKS", k=10, n_segments=4,
+                            percentile_estimator="r7").collect()}
+    assert r6["t5"] == 0  # delta 11.0: drop of 11 is NOT > delta
+    assert r7["t5"] == 1  # delta 10.955: drop of 11 IS > delta
+    assert all(v == 0 for t, v in r6.items() if t != "t5")
 
 
 def test_term_waveforms_dense(spark, tiny_turns):
