@@ -75,8 +75,13 @@ def main() -> None:
     build_df = postings_flat(base_with_docint(turns), positions=False)
     sections.append(
         (
-            "Build: tokenize → posexplode → groupBy(term, docint)",
-            "One exchange on the uniform composite key; tokenizer inside "
+            "Build: tokenize → per-doc run-length postings (shuffle-free)",
+            "ZERO data-sized exchange: tf/positions are per-document "
+            "aggregations, computed by sorting each doc's token array "
+            "and emitting runs inside one codegen projection (round-5 "
+            "rewrite — the former groupBy(term, docint) shuffled a row "
+            "per token). The remaining exchanges are the tiny conv-level "
+            "docint aggregation, broadcast-joined back; tokenizer inside "
             "codegen (regexp_extract_all), no Python.",
             build_df,
         )
